@@ -1,0 +1,107 @@
+"""End-to-end device frontend: waveform batch -> augmented fbank batch.
+
+This replaces the reference's per-utterance host collate chain
+(reference openeat/dataset/dataset.py:39-239: sox load -> x32768 ->
+speed perturb -> kaldi.fbank -> per-utt CMVN -> feature dither ->
+spec-substitute -> SpecAugment -> pad) with ONE jitted batched device
+program. The host only reads/pads waveforms; everything from framing
+onward runs on the TPU and fuses.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+
+from openeat_tpu.ops import fbank as fbank_mod
+from openeat_tpu.ops import specaug
+
+
+@dataclass(frozen=True)
+class FrontendConfig:
+    """Mirrors collate_conf (reference examples/aishell/conf/train.yaml:37-55)."""
+
+    sample_rate: int = 16000
+    num_mel_bins: int = 80
+    frame_length_ms: float = 25.0
+    frame_shift_ms: float = 10.0
+    wav_dither: float = 0.0
+    normalization: bool = True
+    feature_dither: float = 0.0
+    spec_sub: bool = False
+    spec_sub_max_t: int = 30
+    spec_sub_num: int = 3
+    spec_aug: bool = False
+    spec_aug_num_t: int = 2
+    spec_aug_num_f: int = 2
+    spec_aug_max_t: int = 50
+    spec_aug_max_f: int = 10
+
+    @classmethod
+    def from_collate_conf(cls, conf: dict) -> "FrontendConfig":
+        fe = conf.get("feature_extraction_conf", {}) or {}
+        sa = conf.get("spec_aug_conf", {}) or {}
+        ss = conf.get("spec_sub_conf", {}) or {}
+        return cls(
+            sample_rate=fe.get("resample_rate", 16000),
+            num_mel_bins=fe.get("mel_bins", 80),
+            wav_dither=fe.get("wav_dither", 0.0),
+            normalization=conf.get("normalization", True),
+            feature_dither=conf.get("feature_dither", 0.0),
+            spec_sub=conf.get("spec_sub", False),
+            spec_sub_max_t=ss.get("max_t", 30),
+            spec_sub_num=ss.get("num_t_sub", 3),
+            spec_aug=conf.get("spec_aug", False),
+            spec_aug_num_t=sa.get("num_t_mask", 2),
+            spec_aug_num_f=sa.get("num_f_mask", 2),
+            spec_aug_max_t=sa.get("max_t", 50),
+            spec_aug_max_f=sa.get("max_f", 10),
+        )
+
+    def without_augmentation(self) -> "FrontendConfig":
+        """CV/test copy with all randomness stripped (reference
+        train.py:125-131 strips augmentation from the cv collate)."""
+        return FrontendConfig(
+            sample_rate=self.sample_rate, num_mel_bins=self.num_mel_bins,
+            frame_length_ms=self.frame_length_ms,
+            frame_shift_ms=self.frame_shift_ms, wav_dither=0.0,
+            normalization=self.normalization, feature_dither=0.0,
+            spec_sub=False, spec_aug=False)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "train"))
+def compute_features(wav: jax.Array, wav_lens: jax.Array, rng: jax.Array,
+                     cfg: FrontendConfig, train: bool = True
+                     ) -> tuple[jax.Array, jax.Array]:
+    """[B, N] f32 waveforms (x32768-scaled) -> ([B, T, M] feats, [B] lens)."""
+    k_dither, k_fd, k_ss, k_sa = jax.random.split(rng, 4)
+    feats, flens = fbank_mod.fbank(
+        wav, wav_lens,
+        sample_rate=cfg.sample_rate,
+        num_mel_bins=cfg.num_mel_bins,
+        frame_length_ms=cfg.frame_length_ms,
+        frame_shift_ms=cfg.frame_shift_ms,
+        dither=cfg.wav_dither if train else 0.0,
+        rng=k_dither if (train and cfg.wav_dither) else None,
+    )
+    # zero out frames past each utterance's length before stats/masking
+    t = feats.shape[1]
+    valid = (jnp.arange(t)[None, :] < flens[:, None])[..., None]
+    feats = jnp.where(valid, feats, 0.0)
+    if cfg.normalization:
+        feats = specaug.per_utt_normalize(feats, flens)
+        feats = jnp.where(valid, feats, 0.0)
+    if train and cfg.feature_dither:
+        feats = specaug.feature_dither(feats, k_fd, cfg.feature_dither)
+    if train and cfg.spec_sub:
+        feats = specaug.spec_substitute(
+            feats, flens, k_ss, cfg.spec_sub_max_t, cfg.spec_sub_num)
+    if train and cfg.spec_aug:
+        feats = specaug.spec_augment(
+            feats, flens, k_sa, cfg.spec_aug_num_t, cfg.spec_aug_num_f,
+            cfg.spec_aug_max_t, cfg.spec_aug_max_f)
+        feats = jnp.where(valid, feats, 0.0)
+    return feats, flens
