@@ -1,0 +1,148 @@
+"""Multi-head attention: vanilla and Transformer-XL relative-position.
+
+Behavior parity: reference openeat/modules/attention.py:14-209 —
+separate q/k/v/out projections, mask as -inf fill before softmax,
+rel-pos variant with learnable pos_bias_u/v, `matrix_ac + matrix_bd`
+scores and the WeNet convention of NOT applying rel_shift
+(reference attention.py:202-204).
+
+TPU design: everything is einsum so XLA maps the contractions onto the
+MXU and fuses bias/mask/softmax into the surrounding kernels; bf16
+compute with f32 softmax accumulation. A masked position contributes
+exactly 0 (the reference post-softmax zero-fill is reproduced by
+re-masking after softmax so fully-masked query rows produce 0, not NaN).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1.0e9
+
+
+def _attend(q: jax.Array, k: jax.Array, v: jax.Array,
+            scores_extra: Optional[jax.Array],
+            mask: Optional[jax.Array], scale: float,
+            dropout: nn.Module, deterministic: bool,
+            out_proj: nn.Module) -> jax.Array:
+    """Shared score->softmax->context path.
+
+    q,k,v: [B, T, H, D]; scores_extra: [B, H, Tq, Tk] or None;
+    mask: bool [B, 1, Tk] or [B, Tq, Tk], True = attend.
+    """
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    if scores_extra is not None:
+        scores = scores + scores_extra
+    scores = scores * scale
+    if mask is not None:
+        m = mask[:, None, :, :] if mask.ndim == 3 else mask
+        scores = jnp.where(m, scores, NEG_INF)
+    attn = jax.nn.softmax(scores, axis=-1)
+    if mask is not None:
+        attn = jnp.where(m, attn, 0.0)  # zero fully-masked rows
+    attn = dropout(attn.astype(v.dtype), deterministic=deterministic)
+    ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
+                     preferred_element_type=jnp.float32).astype(v.dtype)
+    b, t, h, d = ctx.shape
+    return out_proj(ctx.reshape(b, t, h * d))
+
+
+class MultiHeadedAttention(nn.Module):
+    """Scaled-dot MHA (reference attention.py:14-117)."""
+
+    num_heads: int
+    d_model: int
+    dropout_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        assert self.d_model % self.num_heads == 0
+        self.d_k = self.d_model // self.num_heads
+        dense = lambda name: nn.Dense(self.d_model, dtype=self.dtype, name=name)
+        self.linear_q = dense("linear_q")
+        self.linear_k = dense("linear_k")
+        self.linear_v = dense("linear_v")
+        self.linear_out = dense("linear_out")
+        self.attn_dropout = nn.Dropout(self.dropout_rate)
+
+    def _qkv(self, query, key, value):
+        b = query.shape[0]
+        split = lambda x: x.reshape(b, -1, self.num_heads, self.d_k)
+        return (split(self.linear_q(query)), split(self.linear_k(key)),
+                split(self.linear_v(value)))
+
+    def __call__(self, query, key, value, mask=None, pos_emb=None, *,
+                 deterministic: bool = True):
+        q, k, v = self._qkv(query, key, value)
+        return _attend(q, k, v, None, mask, self.d_k ** -0.5,
+                       self.attn_dropout, deterministic, self.linear_out)
+
+
+class RelPositionMultiHeadedAttention(nn.Module):
+    """Transformer-XL rel-pos MHA, WeNet no-shift convention.
+
+    Parity: reference attention.py:120-209 — scores =
+    ((q+u)k^T + (q+v)p^T) / sqrt(d_k) with p = linear_pos(pos_emb),
+    rel_shift intentionally omitted (attention.py:202-204).
+    """
+
+    num_heads: int
+    d_model: int
+    dropout_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        assert self.d_model % self.num_heads == 0
+        self.d_k = self.d_model // self.num_heads
+        dense = lambda name, bias=True: nn.Dense(
+            self.d_model, use_bias=bias, dtype=self.dtype, name=name)
+        self.linear_q = dense("linear_q")
+        self.linear_k = dense("linear_k")
+        self.linear_v = dense("linear_v")
+        self.linear_out = dense("linear_out")
+        self.linear_pos = dense("linear_pos", bias=False)
+        init = nn.initializers.xavier_uniform()
+        self.pos_bias_u = self.param(
+            "pos_bias_u", init, (self.num_heads, self.d_k), jnp.float32)
+        self.pos_bias_v = self.param(
+            "pos_bias_v", init, (self.num_heads, self.d_k), jnp.float32)
+        self.attn_dropout = nn.Dropout(self.dropout_rate)
+
+    def __call__(self, query, key, value, mask=None, pos_emb=None, *,
+                 deterministic: bool = True):
+        assert pos_emb is not None, "rel-pos attention needs pos_emb"
+        b = query.shape[0]
+        split = lambda x: x.reshape(x.shape[0], -1, self.num_heads, self.d_k)
+        q = split(self.linear_q(query))
+        k = split(self.linear_k(key))
+        v = split(self.linear_v(value))
+        p = split(self.linear_pos(pos_emb.astype(query.dtype)))  # [1|B,T2,H,D]
+        u = self.pos_bias_u.astype(q.dtype)
+        vb = self.pos_bias_v.astype(q.dtype)
+        # matrix (a+c): content scores with bias u — folded into one einsum
+        q_u = q + u[None, None]
+        q_v = q + vb[None, None]
+        matrix_ac = jnp.einsum("bqhd,bkhd->bhqk", q_u, k,
+                               preferred_element_type=jnp.float32)
+        matrix_bd = jnp.einsum("bqhd,pkhd->bhqk", q_v, p,
+                               preferred_element_type=jnp.float32)
+        scores = (matrix_ac + matrix_bd)
+        # reuse the shared path with precomputed scores
+        scale = self.d_k ** -0.5
+        scores = scores * scale
+        if mask is not None:
+            m = mask[:, None, :, :] if mask.ndim == 3 else mask
+            scores = jnp.where(m, scores, NEG_INF)
+        attn = jax.nn.softmax(scores, axis=-1)
+        if mask is not None:
+            attn = jnp.where(m, attn, 0.0)
+        attn = self.attn_dropout(attn.astype(v.dtype),
+                                 deterministic=deterministic)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
+                         preferred_element_type=jnp.float32).astype(v.dtype)
+        return self.linear_out(ctx.reshape(b, -1, self.d_model))

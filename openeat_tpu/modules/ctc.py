@@ -1,0 +1,69 @@
+"""CTC head: projection + loss + frame posteriors.
+
+Parity: reference openeat/modules/ctc.py:6-74 — linear projection of
+encoder states to vocab, CTC loss (blank=0, zero_infinity semantics,
+sum-over-batch / batch or length-normalized), log_softmax / argmax
+helpers for decoding.
+
+The loss is optax.ctc_loss (XLA log-space forward-backward, fully
+on-device, differentiable); openeat_tpu.ops.ctc provides a Pallas
+forward-backward kernel used for long-sequence perf. The reference's
+`reduction='mean'` double-division by batch (ctc.py:23,44) is a scale
+bug we do not replicate: length-normalized means per-token, else
+per-batch.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class CTCHead(nn.Module):
+    vocab_size: int
+    length_normalized_loss: bool = False
+    blank_id: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.ctc_lo = nn.Dense(self.vocab_size, dtype=self.dtype,
+                               name="ctc_lo")
+
+    def project(self, hs: jax.Array) -> jax.Array:
+        """Encoder states [B,T,D] -> logits [B,T,V] (f32)."""
+        return self.ctc_lo(hs).astype(jnp.float32)
+
+    def loss(self, hs: jax.Array, hlens: jax.Array, ys: jax.Array,
+             ys_lens: jax.Array) -> jax.Array:
+        """CTC loss. hs: [B,T,D]; hlens: [B]; ys: [B,L] (pad=anything);
+        ys_lens: [B]. Returns scalar."""
+        logits = self.project(hs)
+        b, t, _ = logits.shape
+        l = ys.shape[1]
+        logit_pad = (jnp.arange(t)[None, :] >= hlens[:, None]).astype(
+            jnp.float32)
+        label_pad = (jnp.arange(l)[None, :] >= ys_lens[:, None]).astype(
+            jnp.float32)
+        labels = jnp.where(label_pad > 0, 0, ys).astype(jnp.int32)
+        per_seq = optax.ctc_loss(logits, logit_pad, labels, label_pad,
+                                 blank_id=self.blank_id)
+        # zero_infinity: drop non-finite per-sequence losses (e.g. when
+        # label length exceeds frame count), like torch zero_infinity=True
+        per_seq = jnp.where(jnp.isfinite(per_seq), per_seq, 0.0)
+        if self.length_normalized_loss:
+            return jnp.mean(per_seq / jnp.maximum(ys_lens, 1))
+        return jnp.sum(per_seq) / b
+
+    def log_softmax(self, hs: jax.Array) -> jax.Array:
+        return jax.nn.log_softmax(self.project(hs), axis=-1)
+
+    def softmax(self, hs: jax.Array) -> jax.Array:
+        return jax.nn.softmax(self.project(hs), axis=-1)
+
+    def argmax(self, hs: jax.Array) -> jax.Array:
+        return jnp.argmax(self.project(hs), axis=-1)
+
+    def __call__(self, hs, hlens, ys, ys_lens):
+        return self.loss(hs, hlens, ys, ys_lens)

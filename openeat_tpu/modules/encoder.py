@@ -1,0 +1,159 @@
+"""Encoder stacks (flax.linen).
+
+Parity: reference openeat/modules/encoder.py — `Encoder` (:25-110), a bare
+pre-norm block stack used by the LanguageModel, and `TransformerEncoder`
+(:113-229): optional GlobalCMVN -> subsampling embed -> N blocks -> final
+LayerNorm (eps 1e-5). Conformer mode (use_cnn_module) selects rel-pos
+attention (encoder.py:183-187). Weight sharing: `num_blocks //
+num_blocks_share` physical layers, each applied `num_blocks_share`
+times (encoder.py:202,225-227) — in flax, re-calling the same submodule
+shares parameters.
+
+TPU notes: optional per-layer rematerialization (`jax.checkpoint` via
+nn.remat) trades FLOPs for HBM on long utterances; compute dtype is
+configurable (bf16 on the MXU by default from the model config).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from openeat_tpu.modules.cmvn import GlobalCMVN
+from openeat_tpu.modules.embedding import (NoPositionalEncoding,
+                                           PositionalEncoding,
+                                           RelPositionalEncoding)
+from openeat_tpu.modules.encoder_layer import EncoderLayer
+from openeat_tpu.modules.subsampling import SUBSAMPLE_CLASSES
+
+POS_ENC_CLASSES = {
+    "abs_pos": PositionalEncoding,
+    "rel_pos": RelPositionalEncoding,
+    "no_pos": NoPositionalEncoding,
+}
+
+
+class Encoder(nn.Module):
+    """Block stack without embedding/subsampling (encoder.py:25-110)."""
+
+    d_model: int = 256
+    dropout_rate: float = 0.1
+    attention_heads: int = 4
+    linear_units: int = 2048
+    activation: Callable = jax.nn.silu
+    macaron_style: bool = True
+    use_cnn_module: bool = True
+    cnn_module_kernel: int = 15
+    causal: bool = False
+    use_adapter: bool = False
+    down_size: int = 64
+    scalar: float = 0.1
+    num_blocks: int = 6
+    num_blocks_share: int = 1
+    remat: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs: jax.Array, mask: jax.Array, pos_emb: jax.Array,
+                 *, deterministic: bool = True) -> jax.Array:
+        layer_cls = EncoderLayer
+        if self.remat:
+            layer_cls = nn.remat(EncoderLayer, static_argnums=())
+        layers = [
+            layer_cls(
+                d_model=self.d_model,
+                attention_heads=self.attention_heads,
+                linear_units=self.linear_units,
+                dropout_rate=self.dropout_rate,
+                activation=self.activation,
+                macaron_style=self.macaron_style,
+                use_cnn_module=self.use_cnn_module,
+                cnn_module_kernel=self.cnn_module_kernel,
+                causal=self.causal,
+                use_adapter=self.use_adapter,
+                down_size=self.down_size,
+                scalar=self.scalar,
+                dtype=self.dtype,
+                name=f"layer_{i}",
+            )
+            for i in range(self.num_blocks // self.num_blocks_share)
+        ]
+        for layer in layers:
+            for _ in range(self.num_blocks_share):
+                xs = layer(xs, mask, pos_emb, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                            name="after_norm")(xs)
+
+
+class TransformerEncoder(nn.Module):
+    """Full ASR encoder: CMVN -> subsample -> blocks (encoder.py:113-229)."""
+
+    input_size: int = 80
+    input_layer: str = "conv2d"
+    pos_enc_layer_type: str = "rel_pos"
+    d_model: int = 256
+    dropout_rate: float = 0.1
+    positional_dropout_rate: float = 0.1
+    attention_heads: int = 4
+    linear_units: int = 2048
+    activation: Callable = jax.nn.silu
+    macaron_style: bool = True
+    use_cnn_module: bool = True
+    cnn_module_kernel: int = 15
+    causal: bool = False
+    use_adapter: bool = False
+    down_size: int = 64
+    scalar: float = 0.1
+    num_blocks: int = 6
+    num_blocks_share: int = 1
+    use_global_cmvn: bool = False
+    remat: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def subsampling_rate(self) -> int:
+        return {"linear": 1, "conv2d": 4, "conv2d6": 6, "conv2d8": 8}[
+            self.input_layer]
+
+    @nn.compact
+    def __call__(self, xs: jax.Array, xs_lens: jax.Array,
+                 *, deterministic: bool = True
+                 ) -> tuple[jax.Array, jax.Array, jax.Array]:
+        """xs: [B, T, F] features; xs_lens: [B].
+
+        Returns (encoder_out [B, T', D], out_lens [B], pos_emb [1, T', D]).
+        """
+        if self.use_global_cmvn:
+            xs = GlobalCMVN(self.input_size, name="global_cmvn")(xs)
+        xs = xs.astype(self.dtype)
+        pos_enc = POS_ENC_CLASSES[self.pos_enc_layer_type](
+            self.d_model, self.positional_dropout_rate, name="pos_enc")
+        embed = SUBSAMPLE_CLASSES[self.input_layer](
+            self.d_model, pos_enc, name="embed")
+        xs, pos_emb, out_lens = embed(xs, xs_lens,
+                                      deterministic=deterministic)
+        from openeat_tpu.utils.mask import make_non_pad_mask
+        mask = make_non_pad_mask(out_lens, xs.shape[1])[:, None, :]  # [B,1,T]
+        xs = Encoder(
+            d_model=self.d_model,
+            dropout_rate=self.dropout_rate,
+            attention_heads=self.attention_heads,
+            linear_units=self.linear_units,
+            activation=self.activation,
+            macaron_style=self.macaron_style,
+            use_cnn_module=self.use_cnn_module,
+            cnn_module_kernel=self.cnn_module_kernel,
+            causal=self.causal,
+            use_adapter=self.use_adapter,
+            down_size=self.down_size,
+            scalar=self.scalar,
+            num_blocks=self.num_blocks,
+            num_blocks_share=self.num_blocks_share,
+            remat=self.remat,
+            dtype=self.dtype,
+            name="encoders",
+        )(xs, mask, pos_emb, deterministic=deterministic)
+        return xs, out_lens, pos_emb
