@@ -42,6 +42,7 @@ class ASRModel(nn.Module):
     attention_heads: int = 4
     linear_units: int = 1024
     dropout_rate: float = 0.1
+    positional_dropout_rate: float | None = None  # None -> dropout_rate
     activation_type: str = "swish"
     macaron_style: bool = True
     use_cnn_module: bool = True
@@ -70,12 +71,15 @@ class ASRModel(nn.Module):
 
     def setup(self):
         act = get_activation(self.activation_type)
+        pos_drop = (self.dropout_rate if self.positional_dropout_rate is None
+                    else self.positional_dropout_rate)
         self.encoder = TransformerEncoder(
             input_size=self.input_size,
             input_layer=self.input_layer,
             pos_enc_layer_type=self.pos_enc_layer_type,
             d_model=self.d_model,
             dropout_rate=self.dropout_rate,
+            positional_dropout_rate=pos_drop,
             attention_heads=self.attention_heads,
             linear_units=self.linear_units,
             activation=act,
@@ -98,6 +102,7 @@ class ASRModel(nn.Module):
             vocab_size=self.vocab_size,
             d_model=self.d_model,
             dropout_rate=self.dropout_rate,
+            positional_dropout_rate=pos_drop,
             attention_heads=self.attention_heads,
             linear_units=self.linear_units,
             activation=act,

@@ -124,6 +124,7 @@ class BiTransformerDecoder(nn.Module):
     vocab_size: int
     d_model: int
     dropout_rate: float = 0.1
+    positional_dropout_rate: float = 0.1
     attention_heads: int = 4
     linear_units: int = 2048
     activation: Callable = jax.nn.relu
@@ -141,6 +142,7 @@ class BiTransformerDecoder(nn.Module):
             return TransformerDecoder(
                 vocab_size=self.vocab_size, d_model=self.d_model,
                 dropout_rate=self.dropout_rate,
+                positional_dropout_rate=self.positional_dropout_rate,
                 attention_heads=self.attention_heads,
                 linear_units=self.linear_units, activation=self.activation,
                 use_adapter=self.use_adapter, down_size=self.down_size,

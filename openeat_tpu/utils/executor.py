@@ -1,0 +1,89 @@
+"""Epoch-level training/eval executor.
+
+Parity: reference openeat/utils/executor.py:11-113 — one `train()` epoch
+with running loss/acc/lr logging every `log_interval` batches, non-finite
+loss excluded from the running stats, and a no-grad `cv()` loop.
+
+The mechanics that lived in the reference's python loop (grad
+accumulation, clipping, non-finite step skip, scheduler stepping) are
+compiled into the jitted train step (parallel.train_step); this class is
+the thin host loop that feeds sharded device batches and aggregates
+logs. Host->device transfer overlaps compute via jax's async dispatch;
+the feeder prefetches the next batch while the step runs.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import time
+from typing import Any, Callable, Iterable
+
+import jax
+import numpy as np
+
+
+class Executor:
+    def __init__(self, train_step: Callable, eval_step: Callable,
+                 schedule: Callable | None = None, log_interval: int = 100,
+                 logger: logging.Logger | None = None):
+        self.train_step = train_step
+        self.eval_step = eval_step
+        self.schedule = schedule
+        self.log_interval = log_interval
+        self.logger = logger or logging.getLogger("openeat_tpu")
+
+    def train(self, state, batches: Iterable[dict], rng,
+              epoch: int = 0) -> tuple[Any, dict]:
+        """One epoch. `batches` yields device-ready dict batches."""
+        tot_loss, tot_acc, n_seen, n_batches = 0.0, 0.0, 0, 0
+        t0 = time.time()
+        frames = 0
+        for i, batch in enumerate(batches):
+            rng, step_rng = jax.random.split(rng)
+            state, metrics = self.train_step(state, batch, step_rng)
+            if (i + 1) % self.log_interval == 0:
+                metrics = jax.device_get(metrics)
+                loss = float(metrics["loss"])
+                if math.isfinite(loss):
+                    tot_loss += loss
+                    tot_acc += float(metrics.get("acc", 0.0))
+                    n_seen += 1
+                lr = (float(self.schedule(int(state.step)))
+                      if self.schedule else float("nan"))
+                self.logger.info(
+                    "epoch %d batch %d loss %.4f acc %.4f lr %.6g "
+                    "gnorm %.2f", epoch, i + 1, loss,
+                    float(metrics.get("acc", 0.0)), lr,
+                    float(metrics.get("grad_norm", 0.0)))
+            n_batches += 1
+            fl = batch.get("features_length")
+            if fl is not None:
+                frames += int(np.sum(np.asarray(fl)))
+        dt = time.time() - t0
+        summary = {
+            "train_loss": tot_loss / max(n_seen, 1),
+            "train_acc": tot_acc / max(n_seen, 1),
+            "batches": n_batches,
+            "epoch_time_s": dt,
+            "frames_per_s": frames / max(dt, 1e-9),
+        }
+        return state, summary
+
+    def cv(self, params, batches: Iterable[dict], epoch: int = 0) -> dict:
+        """No-grad eval loop (reference executor.py:79-113), weighted by
+        batch size like the reference's num_seen_utts accumulation."""
+        tot_loss, tot_acc, n_utts = 0.0, 0.0, 0
+        for i, batch in enumerate(batches):
+            metrics = jax.device_get(self.eval_step(params, batch))
+            loss = float(metrics["loss"])
+            bsz = int(np.asarray(batch["features_length"]).shape[0])
+            if math.isfinite(loss):
+                tot_loss += loss * bsz
+                tot_acc += float(metrics.get("acc", 0.0)) * bsz
+                n_utts += bsz
+            if (i + 1) % self.log_interval == 0:
+                self.logger.info("cv epoch %d batch %d loss %.4f", epoch,
+                                 i + 1, loss)
+        return {"cv_loss": tot_loss / max(n_utts, 1),
+                "cv_acc": tot_acc / max(n_utts, 1)}
