@@ -1,0 +1,242 @@
+"""Dataset pipelines: AudioDataset / TextDataset + prefetching loader.
+
+Parity: reference openeat/dataset/dataset.py —
+- AudioDataset (:241-376): manifest parse, on-the-fly tokenization,
+  length filtering, offline speed-perturb expansion, sorted pre-built
+  batches (dynamic frame-budget / static / shuffle);
+- audio_collate_func (:39-239): wav (or kaldi-ark) load, x32768 scale,
+  resample, online speed perturb with probability, then feature
+  extraction + augmentation — which in this framework runs ON DEVICE
+  (openeat_tpu.ops.frontend), so the host collate stops at padded
+  waveforms;
+- TextDataset/text_collate_func (:379-496): LM lines, tokenize, filter,
+  optional BERT-style 15% masking (80/10/10) — without the reference's
+  3-arg `_tokenizer` bug (dataset.py:485);
+- DataLoaderX background prefetch (reference openeat/bin/train.py:41-44)
+  -> a thread-pool PrefetchLoader.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as futures
+import logging
+from typing import Iterator, Optional
+
+import numpy as np
+
+from openeat_tpu.dataset import audio as audio_lib
+from openeat_tpu.dataset import kaldi_io
+from openeat_tpu.dataset.batching import (make_batches, pad_batch_1d,
+                                          pad_batch_2d)
+from openeat_tpu.dataset.manifest import (Utterance, parse_manifest,
+                                          parse_wav_entry)
+from openeat_tpu.dataset.text import text_to_token_ids
+from openeat_tpu.utils.common import IGNORE_ID
+
+logger = logging.getLogger("openeat_tpu")
+
+
+class AudioDataset:
+    """Pre-batched audio dataset (reference dataset.py:241-376)."""
+
+    def __init__(self, data_file: str, char_dict: dict[str, int], bpe=None,
+                 max_length: float = 10240, min_length: float = 0,
+                 token_max_length: int = 200, token_min_length: int = 0,
+                 batch_type: str = "dynamic", batch_size: int = 12,
+                 max_frames_in_batch: int = 10000, sort: bool = True,
+                 speed_perturb: bool = False, speeds=(0.9, 1.1, 0.1),
+                 data_type: str = "wav", seed: int = 777):
+        self.char_dict = char_dict
+        self.vocab_size = len(char_dict)
+        self.data_type = data_type
+        self.utts = parse_manifest(
+            data_file, char_dict, bpe, max_length, min_length,
+            token_max_length, token_min_length, speed_perturb, speeds,
+            data_type, sort)
+        self.batches = make_batches(self.utts, batch_type, batch_size,
+                                    max_frames_in_batch, seed)
+        self.input_size = (self.utts[0].feat_dim
+                           if self.utts and self.utts[0].feat_dim else 80)
+
+    def __len__(self):
+        return len(self.batches)
+
+    def __getitem__(self, idx: int) -> list[Utterance]:
+        return self.batches[idx]
+
+
+class AudioCollate:
+    """Host-side collate: utterances -> padded waveform (or feature)
+    batch dict. Device-side augmentation config travels separately
+    (ops.frontend.FrontendConfig)."""
+
+    def __init__(self, resample_rate: int = 16000,
+                 speed_perturb_rate: float = 0.0, speeds=(0.9, 1.1, 0.1),
+                 wav_bucket_ms: int = 1000, token_bucket: int = 8,
+                 frame_bucket: int = 100, seed: int = 777):
+        self.resample_rate = resample_rate
+        self.speed_perturb_rate = speed_perturb_rate
+        self.speeds = speeds
+        self.wav_bucket = int(resample_rate * wav_bucket_ms / 1000)
+        self.token_bucket = token_bucket
+        self.frame_bucket = frame_bucket
+        self.rng = np.random.default_rng(seed)
+
+    def __call__(self, batch: list[Utterance]) -> dict:
+        keys, wavs, feats, tokens = [], [], [], []
+        for u in batch:
+            try:
+                if u.feat_dim > 0:
+                    feats.append(kaldi_io.read_mat(u.path))
+                else:
+                    path, start, end = parse_wav_entry(u.path)
+                    x, rate = audio_lib.read_wav(path, start, end)
+                    x = x * 32768.0  # reference dataset.py:75
+                    if rate != self.resample_rate:
+                        x = audio_lib.resample(x, rate, self.resample_rate)
+                    speed = u.speed
+                    if self.rng.random() < self.speed_perturb_rate:
+                        speed = audio_lib.random_speed(self.speeds, self.rng)
+                    if speed != 1.0:
+                        x = audio_lib.speed_perturb(x, self.resample_rate,
+                                                    speed)
+                    wavs.append(x)
+                keys.append(u.key)
+                tokens.append(np.asarray(u.token_ids, np.int32))
+            except Exception as e:  # corrupt-utterance skip (dataset.py:108)
+                logger.warning("read utterance %s error: %s", u.key, e)
+        if not keys:
+            raise RuntimeError("empty batch after error skipping")
+        # sort by length desc (reference dataset.py:114-118)
+        lens = [len(w) for w in wavs] if wavs else [f.shape[0] for f in feats]
+        order = np.argsort(-np.asarray(lens))
+        keys = [keys[i] for i in order]
+        tokens = [tokens[i] for i in order]
+        targets, target_lens = pad_batch_1d(tokens, IGNORE_ID,
+                                            self.token_bucket, np.int32)
+        out = {"targets": targets, "targets_length": target_lens}
+        if wavs:
+            wavs = [wavs[i] for i in order]
+            wav_pad, wav_lens = pad_batch_1d(wavs, 0.0, self.wav_bucket,
+                                             np.float32)
+            out.update(wav=wav_pad, wav_lens=wav_lens)
+        else:
+            feats = [feats[i] for i in order]
+            feat_pad, feat_lens = pad_batch_2d(feats, 0.0, self.frame_bucket,
+                                               np.float32)
+            out.update(features=feat_pad, features_length=feat_lens)
+        return keys, out
+
+
+class TextDataset:
+    """LM dataset (reference dataset.py:379-496 intent, bugs fixed)."""
+
+    def __init__(self, data_file: str, char_dict: dict[str, int], bpe=None,
+                 token_max_length: int = 200, token_min_length: int = 0,
+                 batch_size: int = 32, sort: bool = True):
+        self.char_dict = char_dict
+        self.vocab_size = len(char_dict)
+        rows = []
+        with open(data_file, encoding="utf-8") as f:
+            for line in f:
+                text = line.strip()
+                if not text:
+                    continue
+                # lines may be '<utt> <text>' or raw text
+                parts = text.split(maxsplit=1)
+                text = parts[1] if len(parts) == 2 else parts[0]
+                ids = text_to_token_ids(text, char_dict, bpe)
+                if token_min_length < len(ids) < token_max_length:
+                    rows.append(np.asarray(ids, np.int32))
+        if sort:
+            rows.sort(key=len)
+        self.rows = rows
+        self.batches = [rows[i: i + batch_size]
+                        for i in range(0, len(rows), batch_size)]
+
+    def __len__(self):
+        return len(self.batches)
+
+    def __getitem__(self, idx):
+        return self.batches[idx]
+
+
+class TextCollate:
+    """LM collate with optional BERT-style masking
+    (reference dataset.py:426-446: 15% of tokens; 80% -> mask_id,
+    10% -> random token, 10% -> unchanged; targets only at masked
+    positions)."""
+
+    def __init__(self, vocab_size: int, autoregressive: bool = True,
+                 mask_id: int | None = None, mask_rate: float = 0.15,
+                 token_bucket: int = 8, seed: int = 777):
+        self.vocab_size = vocab_size
+        self.autoregressive = autoregressive
+        self.mask_id = vocab_size - 1 if mask_id is None else mask_id
+        self.mask_rate = mask_rate
+        self.token_bucket = token_bucket
+        self.rng = np.random.default_rng(seed)
+
+    def __call__(self, batch: list[np.ndarray]) -> dict:
+        tokens, lens = pad_batch_1d(batch, IGNORE_ID, self.token_bucket,
+                                    np.int32)
+        if self.autoregressive:
+            return {"tokens": tokens, "tokens_length": lens}
+        inputs = tokens.copy()
+        targets = np.full_like(tokens, IGNORE_ID)
+        for i, n in enumerate(lens):
+            for j in range(int(n)):
+                if self.rng.random() < self.mask_rate:
+                    targets[i, j] = tokens[i, j]
+                    r = self.rng.random()
+                    if r < 0.8:
+                        inputs[i, j] = self.mask_id
+                    elif r < 0.9:
+                        inputs[i, j] = int(self.rng.integers(
+                            0, self.vocab_size))
+        return {"tokens": inputs, "tokens_length": lens,
+                "masked_targets": targets}
+
+
+class PrefetchLoader:
+    """Thread-pool prefetch over (dataset, collate) — the reference's
+    DataLoaderX / num_workers analog (train.py:41-44,110-116)."""
+
+    def __init__(self, dataset, collate, num_workers: int = 4,
+                 prefetch: int = 4, shuffle_batches: bool = False,
+                 seed: int = 777):
+        self.dataset = dataset
+        self.collate = collate
+        self.num_workers = max(1, num_workers)
+        self.prefetch = max(1, prefetch)
+        self.shuffle_batches = shuffle_batches
+        self.seed = seed
+        self.epoch = 0
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __iter__(self) -> Iterator:
+        order = np.arange(len(self.dataset))
+        if self.shuffle_batches:
+            np.random.default_rng(self.seed + self.epoch).shuffle(order)
+        self.epoch += 1
+
+        def produce(idx):
+            return self.collate(self.dataset[int(idx)])
+
+        with futures.ThreadPoolExecutor(self.num_workers) as pool:
+            pending = []
+            it = iter(order)
+            for _ in range(self.prefetch):
+                try:
+                    pending.append(pool.submit(produce, next(it)))
+                except StopIteration:
+                    break
+            while pending:
+                fut = pending.pop(0)
+                try:
+                    pending.append(pool.submit(produce, next(it)))
+                except StopIteration:
+                    pass
+                yield fut.result()

@@ -41,7 +41,7 @@ def tokenize(text: str, bpe=None) -> list[str]:
         elif bpe is not None:
             tokens.extend(bpe.encode_as_pieces(span))
         else:
-            tokens.append(span)
+            tokens.append(span.strip())
     return tokens
 
 

@@ -131,8 +131,11 @@ class TransformerEncoder(nn.Module):
         xs = xs.astype(self.dtype)
         pos_enc = POS_ENC_CLASSES[self.pos_enc_layer_type](
             self.d_model, self.positional_dropout_rate, name="pos_enc")
+        sub_kwargs = {}
+        if self.input_layer == "linear":
+            sub_kwargs["dropout_rate"] = self.dropout_rate
         embed = SUBSAMPLE_CLASSES[self.input_layer](
-            self.d_model, pos_enc, name="embed")
+            self.d_model, pos_enc, name="embed", **sub_kwargs)
         xs, pos_emb, out_lens = embed(xs, xs_lens,
                                       deterministic=deterministic)
         from openeat_tpu.utils.mask import make_non_pad_mask
