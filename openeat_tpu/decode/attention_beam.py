@@ -1,0 +1,118 @@
+"""Batched on-device attention beam search.
+
+Parity: reference openeat/models/asr_model.py:205-295 — encoder once,
+beams flattened to (B*N), per-step decoder scoring + two-stage topk
+(N per beam, then N over N*N), finished-beam freezing via the
+mask_finished_* helpers, final best-of-beam by raw score.
+
+TPU design: the whole search is one jitted lax.while_loop with a static
+token buffer [B*N, Lmax+1]; each step runs the full-prefix decoder under
+a causal mask (positions beyond the current step cannot influence the
+scored position, so no dynamic shapes exist anywhere) and stops early
+once every beam has emitted eos. The python per-step loop, per-step
+host sync, and the growing KV cache of the reference are all gone.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from openeat_tpu.utils.common import IGNORE_ID
+from openeat_tpu.utils.mask import (mask_finished_preds,
+                                    mask_finished_scores, subsequent_mask)
+
+NEG_INF = -1.0e9
+
+
+class BeamState(NamedTuple):
+    tokens: jax.Array    # [B*N, L+1] with sos at column 0
+    scores: jax.Array    # [B*N]
+    finished: jax.Array  # [B*N] bool
+    step: jax.Array      # scalar int32
+
+
+def attention_beam_search(decoder_step_fn, encoder_out: jax.Array,
+                          encoder_lens: jax.Array, *, beam_size: int,
+                          sos: int, eos: int, max_steps: int
+                          ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Search over `decoder_step_fn(tokens [M, L+1], memory, memory_lens)
+    -> log-probs [M, L+1, V]` (full-prefix causal decoder scores).
+
+    Returns (best tokens [B, max_steps] IGNORE_ID-padded, lens [B],
+    best scores [B]).
+    """
+    b, t, d = encoder_out.shape
+    n = beam_size
+    m = b * n
+    memory = jnp.repeat(encoder_out, n, axis=0)        # [M, T, D]
+    memory_lens = jnp.repeat(encoder_lens, n, axis=0)  # [M]
+
+    init = BeamState(
+        tokens=jnp.full((m, max_steps + 1), eos, jnp.int32).at[:, 0].set(sos),
+        scores=jnp.tile(
+            jnp.full((n,), NEG_INF).at[0].set(0.0), (b,)),
+        finished=jnp.zeros((m,), bool),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+    def cond(state: BeamState):
+        return (state.step < max_steps) & ~jnp.all(state.finished)
+
+    def body(state: BeamState):
+        i = state.step  # scoring position i (predict token i+1 at col i+1)
+        logp_all = decoder_step_fn(state.tokens, memory, memory_lens)
+        logp = jax.lax.dynamic_slice_in_dim(logp_all, i, 1, axis=1)[:, 0]
+        top_lp, top_tok = jax.lax.top_k(logp, n)       # [M, N]
+        top_lp = mask_finished_scores(top_lp, state.finished, eos_index=0)
+        top_tok = mask_finished_preds(top_tok, state.finished, eos)
+        cand = state.scores[:, None] + top_lp          # [M, N]
+        cand = cand.reshape(b, n * n)
+        best_sc, best_idx = jax.lax.top_k(cand, n)     # [B, N]
+        beam_idx = best_idx // n                        # which source beam
+        tok_idx = best_idx % n
+        src = (jnp.arange(b)[:, None] * n + beam_idx).reshape(-1)   # [M]
+        new_tokens = state.tokens[src]
+        new_tok = top_tok.reshape(b, n, n)[
+            jnp.arange(b)[:, None], beam_idx, tok_idx].reshape(-1)
+        new_tokens = new_tokens.at[:, i + 1].set(new_tok)
+        new_finished = state.finished[src] | (new_tok == eos)
+        return BeamState(new_tokens, best_sc.reshape(-1), new_finished,
+                         i + 1)
+
+    final = jax.lax.while_loop(cond, body, init)
+    scores = final.scores.reshape(b, n)
+    best = jnp.argmax(scores, axis=1)
+    best_tokens = final.tokens.reshape(b, n, -1)[jnp.arange(b), best, 1:]
+    best_scores = scores[jnp.arange(b), best]
+    # truncate at eos -> IGNORE_ID padding + lengths
+    is_eos = best_tokens == eos
+    first_eos = jnp.where(jnp.any(is_eos, axis=1),
+                          jnp.argmax(is_eos, axis=1), best_tokens.shape[1])
+    pos = jnp.arange(best_tokens.shape[1])[None, :]
+    hyps = jnp.where(pos < first_eos[:, None], best_tokens, IGNORE_ID)
+    return hyps, first_eos.astype(jnp.int32), best_scores
+
+
+def make_decoder_step_fn(model, params):
+    """Full-prefix causal decoder scorer for ASRModel."""
+    def fn(tokens, memory, memory_lens):
+        l = tokens.shape[1]
+        lens = jnp.full((tokens.shape[0],), l, jnp.int32)
+        return model.apply(params, memory, memory_lens, tokens, lens,
+                           method=type(model).decoder_logits)
+    return fn
+
+
+def recognize(model, params, encoder_out, encoder_lens, *, beam_size=10,
+              max_steps: int | None = None):
+    """Reference `ASRModel.recognize` equivalent (asr_model.py:205-295)."""
+    if max_steps is None:
+        max_steps = int(encoder_out.shape[1])
+    return attention_beam_search(
+        make_decoder_step_fn(model, params), encoder_out, encoder_lens,
+        beam_size=beam_size, sos=model.sos, eos=model.eos,
+        max_steps=max_steps)
