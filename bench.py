@@ -1,0 +1,64 @@
+"""Training-throughput benchmark on the flagship AIShell-1 Conformer.
+
+Metric: audio-seconds of speech processed per wall-clock second per chip
+during training (forward + backward + Adam update, bf16 compute), on a
+batch shaped like the reference recipe's dynamic batching
+(max_frames_in_batch=10000 -> ~100 s of audio per step,
+reference examples/aishell/conf/train.yaml:63).
+
+Baseline: BASELINE.json target of 5000 audio-sec/sec/chip
+(vs_baseline = value / 5000). Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import numpy as np
+
+
+def main():
+    from __graft_entry__ import _example_batch, _flagship_model
+    from openeat_tpu.parallel.train_step import build_train_step, init_state
+    from openeat_tpu.utils.optim import build_optimizer
+
+    # ~10000 frames per step: 32 utts x 312 frames (~3.1 s each)
+    b, t = 32, 312
+    audio_sec_per_step = b * t * 0.01  # 10 ms frame shift
+    model = _flagship_model()
+    batch = _example_batch(b=b, t=t, f=80, l=24)
+    batch["features_length"] = jax.numpy.full((b,), t, jax.numpy.int32)
+
+    tx, _ = build_optimizer(1e-3, 25000)
+    state = init_state(model, tx, batch)
+    step = jax.jit(build_train_step(model, tx), donate_argnums=(0,))
+    rng = jax.random.PRNGKey(0)
+
+    # warmup / compile
+    for _ in range(3):
+        rng, k = jax.random.split(rng)
+        state, metrics = step(state, batch, k)
+    jax.block_until_ready(metrics["loss"])
+
+    n_steps = 10
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        rng, k = jax.random.split(rng)
+        state, metrics = step(state, batch, k)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = n_steps / dt
+    value = steps_per_sec * audio_sec_per_step
+    print(json.dumps({
+        "metric": "train_throughput_audio_sec_per_sec_per_chip",
+        "value": round(value, 1),
+        "unit": "audio-sec/sec/chip",
+        "vs_baseline": round(value / 5000.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,213 @@
+"""Decoding entry point.
+
+Parity: reference openeat/bin/recognize.py:42-231 — modes ctc_greedy_search
+/ ctc_prefix_beam_search / attention / attention_rescoring, optional
+Transformer-LM or n-gram shallow fusion, writes `<utt> <text>` results.
+
+Unlike the reference (rescoring/prefix-beam forced to batch=1 on CPU +
+shell-level process spraying, examples/aishell/run.sh:186-219), every
+mode here decodes WHOLE BATCHES on device in one jitted program, so a
+single process saturates the chip.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openeat_tpu.config import load_config
+from openeat_tpu.dataset.bpe import load_bpe
+from openeat_tpu.dataset.dataset import AudioCollate, AudioDataset, \
+    PrefetchLoader
+from openeat_tpu.dataset.text import load_dict, token_ids_to_text
+from openeat_tpu.decode.attention_beam import recognize as attention_decode
+from openeat_tpu.decode.ctc_greedy import ctc_greedy_search
+from openeat_tpu.decode.ctc_prefix_beam import ctc_prefix_beam_search
+from openeat_tpu.decode.rescoring import attention_rescoring
+from openeat_tpu.models.asr_model import ASRModel, build_asr_model
+from openeat_tpu.models.language_model import (LanguageModel,
+                                               build_language_model)
+from openeat_tpu.ops.frontend import FrontendConfig
+from openeat_tpu.pipeline import DeviceFeeder
+from openeat_tpu.utils import checkpoint as ckpt_lib
+from openeat_tpu.utils.common import IGNORE_ID, init_logger
+
+MODES = ["ctc_greedy_search", "ctc_prefix_beam_search", "attention",
+         "attention_rescoring"]
+
+
+def get_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="decode with an ASR model (TPU)")
+    p.add_argument("--config", required=True, help="exp_dir/train.yaml")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--test_data", required=True)
+    p.add_argument("--result_file", required=True)
+    p.add_argument("--dict", dest="dict_path", required=True)
+    p.add_argument("--bpe_model", default=None)
+    p.add_argument("--mode", default="attention_rescoring", choices=MODES)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--beam_size", type=int, default=10)
+    p.add_argument("--ctc_weight", type=float, default=0.5)
+    p.add_argument("--reverse_weight", type=float, default=0.0)
+    p.add_argument("--max_hyp_len", type=int, default=64)
+    p.add_argument("--lm_config", default=None)
+    p.add_argument("--lm_checkpoint", default=None)
+    p.add_argument("--lm_weight", type=float, default=0.0)
+    p.add_argument("--ngram_lm", default=None, help="ARPA n-gram file")
+    p.add_argument("--data_type", default="wav", choices=["wav", "feat",
+                                                          "kaldi"])
+    return p
+
+
+def load_model(config_path: str, checkpoint: str):
+    cfg = load_config(config_path)
+    input_size = cfg.get("input_size", 80)
+    vocab_size = cfg["vocab_size"]
+    model = build_asr_model(dict(cfg.get("model_conf", {}) or {}),
+                            input_size, vocab_size,
+                            use_global_cmvn=cfg.get("use_global_cmvn",
+                                                    False))
+    params, _ = ckpt_lib.load_checkpoint(checkpoint)
+    return model, params, cfg
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+    logger = init_logger()
+    model, params, cfg = load_model(args.config, args.checkpoint)
+
+    char_dict = load_dict(args.dict_path)
+    id2tok = {v: k for k, v in char_dict.items()}
+    bpe = load_bpe(args.bpe_model)
+    collate_conf = dict(cfg.get("collate_conf", {}) or {})
+    fe_conf = collate_conf.get("feature_extraction_conf", {}) or {}
+    dataset_conf = dict(cfg.get("dataset_conf", {}) or {})
+    data_type = "wav" if args.data_type == "wav" else "feat"
+
+    test_ds = AudioDataset(
+        args.test_data, char_dict, bpe,
+        max_length=dataset_conf.get("max_length", 10240),
+        min_length=dataset_conf.get("min_length", 0),
+        token_max_length=dataset_conf.get("token_max_length", 200),
+        batch_type="static", batch_size=args.batch_size, sort=True,
+        data_type=data_type)
+    collate = AudioCollate(resample_rate=fe_conf.get("resample_rate", 16000))
+    frontend = FrontendConfig.from_collate_conf(
+        collate_conf).without_augmentation()
+    loader = PrefetchLoader(test_ds, collate, num_workers=4)
+    feeder = DeviceFeeder(loader, frontend, mesh=None, train=False)
+
+    # optional LM
+    lm_logp_fn = None
+    ngram = None
+    if args.lm_weight > 0 and args.lm_config and args.lm_checkpoint:
+        lm_cfg = load_config(args.lm_config)
+        lm = build_language_model(dict(lm_cfg.get("model_conf", {}) or {}),
+                                  len(char_dict))
+        lm_params, _ = ckpt_lib.load_checkpoint(args.lm_checkpoint)
+
+        def lm_logp_fn(tokens, lens):
+            return lm.apply(lm_params, tokens, lens,
+                            method=LanguageModel.log_probs)
+    elif args.lm_weight > 0 and args.ngram_lm:
+        from openeat_tpu.lm.ngram import ArpaLM
+        ngram = ArpaLM.load(args.ngram_lm)
+
+    encode = jax.jit(lambda f, l: model.apply(params, f, l,
+                                              method=ASRModel.encode))
+    ctc_logp = jax.jit(lambda e: model.apply(params, e,
+                                             method=ASRModel.ctc_log_probs))
+
+    n_done = 0
+    os.makedirs(os.path.dirname(os.path.abspath(args.result_file)),
+                exist_ok=True)
+    with open(args.result_file, "w", encoding="utf-8") as fout:
+        for keys, batch in iter(feeder):
+            enc, enc_lens = encode(batch["features"],
+                                   batch["features_length"])
+            if args.mode == "ctc_greedy_search":
+                hyps, hyp_lens = ctc_greedy_search(ctc_logp(enc), enc_lens)
+            elif args.mode == "ctc_prefix_beam_search":
+                nbest, nbest_lens, _ = ctc_prefix_beam_search(
+                    ctc_logp(enc), enc_lens, beam_size=args.beam_size,
+                    max_hyp_len=args.max_hyp_len)
+                hyps, hyp_lens = nbest[:, 0], nbest_lens[:, 0]
+            elif args.mode == "attention":
+                hyps, hyp_lens, _ = attention_decode(
+                    model, params, enc, enc_lens, beam_size=args.beam_size,
+                    max_steps=min(int(enc.shape[1]), args.max_hyp_len))
+            else:  # attention_rescoring
+                nbest, nbest_lens, nbest_scores = ctc_prefix_beam_search(
+                    ctc_logp(enc), enc_lens, beam_size=args.beam_size,
+                    max_hyp_len=args.max_hyp_len)
+                hyps, hyp_lens, _ = attention_rescoring(
+                    model, params, enc, enc_lens, nbest, nbest_lens,
+                    nbest_scores, ctc_weight=args.ctc_weight,
+                    reverse_weight=args.reverse_weight,
+                    lm_logp_fn=lm_logp_fn, lm_weight=args.lm_weight
+                    if lm_logp_fn else 0.0)
+                if ngram is not None and args.lm_weight > 0:
+                    # host n-gram rescoring over the nbest (kenlm path,
+                    # reference asr_model.py:514-516)
+                    hyps, hyp_lens = _ngram_rescore(
+                        model, params, enc, enc_lens, nbest, nbest_lens,
+                        nbest_scores, ngram, id2tok, args)
+            hyps = np.asarray(hyps)
+            hyp_lens = np.asarray(hyp_lens)
+            for i, key in enumerate(keys):
+                text = token_ids_to_text(
+                    hyps[i][: hyp_lens[i]], id2tok, eos_id=model.eos)
+                fout.write(f"{key} {text}\n")
+            n_done += len(keys)
+            logger.info("decoded %d utts", n_done)
+    logger.info("wrote %s", args.result_file)
+
+
+def _ngram_rescore(model, params, enc, enc_lens, nbest, nbest_lens,
+                   nbest_scores, ngram, id2tok, args):
+    """attention + ctc + host n-gram combined rescoring."""
+    from openeat_tpu.decode.rescoring import attention_rescoring as rescore
+    b, k, l = nbest.shape
+    # attention+ctc part with lm off, but we need per-hyp scores: redo the
+    # scoring math per hypothesis by calling rescore per candidate subset
+    # would be wasteful — instead compute combined scores directly here.
+    import jax.numpy as jnp
+    from openeat_tpu.decode.rescoring import _gather_token_scores
+    from openeat_tpu.utils.common import add_sos_eos, reverse_pad_list
+    flat = nbest.reshape(b * k, l)
+    flens = nbest_lens.reshape(b * k).astype(jnp.int32)
+    ys_in, _ = add_sos_eos(flat, flens, model.sos, model.eos)
+    mem = jnp.repeat(enc, k, axis=0)
+    mem_l = jnp.repeat(enc_lens, k, axis=0)
+    logp = model.apply(params, mem, mem_l, ys_in, flens + 1,
+                       method=ASRModel.decoder_logits)
+    score = _gather_token_scores(logp, flat, flens, model.eos)
+    if args.reverse_weight > 0:
+        r = reverse_pad_list(flat, flens, IGNORE_ID)
+        r_in, _ = add_sos_eos(r, flens, model.sos, model.eos)
+        r_logp = model.apply(params, mem, mem_l, r_in, flens + 1, True,
+                             method=ASRModel.decoder_logits)
+        r_score = _gather_token_scores(r_logp, r, flens, model.eos)
+        score = (1 - args.reverse_weight) * score \
+            + args.reverse_weight * r_score
+    score = np.asarray(score).reshape(b, k)
+    score += args.ctc_weight * np.asarray(nbest_scores)
+    for bi in range(b):
+        for ki in range(k):
+            toks = [id2tok.get(int(t), "<unk>")
+                    for t in nbest[bi, ki][: int(nbest_lens[bi, ki])]]
+            score[bi, ki] += args.lm_weight * ngram.score(
+                " ".join(toks), bos=True, eos=True)
+    score = np.where(np.isfinite(np.asarray(nbest_scores)), score, -1e30)
+    best = score.argmax(axis=1)
+    return (np.asarray(nbest)[np.arange(b), best],
+            np.asarray(nbest_lens)[np.arange(b), best])
+
+
+if __name__ == "__main__":
+    main()

@@ -49,9 +49,14 @@ class CTCHead(nn.Module):
         labels = jnp.where(label_pad > 0, 0, ys).astype(jnp.int32)
         per_seq = optax.ctc_loss(logits, logit_pad, labels, label_pad,
                                  blank_id=self.blank_id)
-        # zero_infinity: drop non-finite per-sequence losses (e.g. when
-        # label length exceeds frame count), like torch zero_infinity=True
-        per_seq = jnp.where(jnp.isfinite(per_seq), per_seq, 0.0)
+        # zero_infinity semantics (torch CTCLoss zero_infinity=True): an
+        # infeasible alignment (frames < labels + required blanks between
+        # repeats) must contribute 0, not optax's log_epsilon penalty
+        repeats = jnp.sum(
+            (labels[:, 1:] == labels[:, :-1])
+            & (jnp.arange(1, l)[None, :] < ys_lens[:, None]), axis=1)
+        feasible = hlens >= ys_lens + repeats
+        per_seq = jnp.where(feasible & jnp.isfinite(per_seq), per_seq, 0.0)
         if self.length_normalized_loss:
             return jnp.mean(per_seq / jnp.maximum(ys_lens, 1))
         return jnp.sum(per_seq) / b

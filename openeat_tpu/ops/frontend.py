@@ -73,21 +73,12 @@ class FrontendConfig:
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "train"))
-def compute_features(wav: jax.Array, wav_lens: jax.Array, rng: jax.Array,
-                     cfg: FrontendConfig, train: bool = True
-                     ) -> tuple[jax.Array, jax.Array]:
-    """[B, N] f32 waveforms (x32768-scaled) -> ([B, T, M] feats, [B] lens)."""
-    k_dither, k_fd, k_ss, k_sa = jax.random.split(rng, 4)
-    feats, flens = fbank_mod.fbank(
-        wav, wav_lens,
-        sample_rate=cfg.sample_rate,
-        num_mel_bins=cfg.num_mel_bins,
-        frame_length_ms=cfg.frame_length_ms,
-        frame_shift_ms=cfg.frame_shift_ms,
-        dither=cfg.wav_dither if train else 0.0,
-        rng=k_dither if (train and cfg.wav_dither) else None,
-    )
-    # zero out frames past each utterance's length before stats/masking
+def augment_features(feats: jax.Array, flens: jax.Array, rng: jax.Array,
+                     cfg: FrontendConfig, train: bool = True) -> jax.Array:
+    """Feature-level pipeline tail (per-utt CMVN, dither, spec-sub,
+    SpecAugment) — also the whole device path for precomputed-feature
+    input (reference `data_type=feat`, dataset.py:195-209)."""
+    k_fd, k_ss, k_sa = jax.random.split(rng, 3)
     t = feats.shape[1]
     valid = (jnp.arange(t)[None, :] < flens[:, None])[..., None]
     feats = jnp.where(valid, feats, 0.0)
@@ -104,4 +95,23 @@ def compute_features(wav: jax.Array, wav_lens: jax.Array, rng: jax.Array,
             feats, flens, k_sa, cfg.spec_aug_num_t, cfg.spec_aug_num_f,
             cfg.spec_aug_max_t, cfg.spec_aug_max_f)
         feats = jnp.where(valid, feats, 0.0)
+    return feats
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "train"))
+def compute_features(wav: jax.Array, wav_lens: jax.Array, rng: jax.Array,
+                     cfg: FrontendConfig, train: bool = True
+                     ) -> tuple[jax.Array, jax.Array]:
+    """[B, N] f32 waveforms (x32768-scaled) -> ([B, T, M] feats, [B] lens)."""
+    k_dither, k_rest = jax.random.split(rng)
+    feats, flens = fbank_mod.fbank(
+        wav, wav_lens,
+        sample_rate=cfg.sample_rate,
+        num_mel_bins=cfg.num_mel_bins,
+        frame_length_ms=cfg.frame_length_ms,
+        frame_shift_ms=cfg.frame_shift_ms,
+        dither=cfg.wav_dither if train else 0.0,
+        rng=k_dither if (train and cfg.wav_dither) else None,
+    )
+    feats = augment_features(feats, flens, k_rest, cfg, train)
     return feats, flens

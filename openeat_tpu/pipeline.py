@@ -1,0 +1,82 @@
+"""Host->device feeding: collated batches -> sharded device batches with
+on-device feature extraction.
+
+This is the seam between the host data pipeline (openeat_tpu.dataset)
+and the jitted train/decode programs: waveform batches are device_put
+with the mesh's data-parallel sharding and pushed through the jitted
+frontend (openeat_tpu.ops.frontend.compute_features); precomputed
+feature batches pass straight through. jax's async dispatch overlaps the
+next batch's transfer+frontend with the current train step, replacing
+the reference's DataLoader worker processes + pinned-memory prefetch
+(reference openeat/bin/train.py:41-44,110-116).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openeat_tpu.ops.frontend import FrontendConfig, compute_features
+from openeat_tpu.parallel import mesh as mesh_lib
+
+
+class DeviceFeeder:
+    """Wraps a loader yielding (keys, host_batch) into device batches."""
+
+    def __init__(self, loader: Iterable, frontend: FrontendConfig,
+                 mesh=None, train: bool = True, seed: int = 0,
+                 pad_batch_multiple: int = 1, drop_dummies_key: bool = True):
+        self.loader = loader
+        self.frontend = frontend
+        self.mesh = mesh
+        self.train = train
+        self.seed = seed
+        self.pad_batch_multiple = max(1, pad_batch_multiple)
+        self.epoch = 0
+
+    def __len__(self):
+        return len(self.loader)
+
+    def _pad_batch_dim(self, batch: dict) -> dict:
+        """Round the batch dim up by repeating utterances — keeps the
+        number of compiled program shapes bounded (XLA static shapes)."""
+        m = self.pad_batch_multiple
+        b = next(iter(batch.values())).shape[0]
+        if m <= 1 or b % m == 0:
+            return batch
+        pad = m - b % m
+        idx = np.concatenate([np.arange(b), np.arange(pad) % b])
+        return {k: v[idx] for k, v in batch.items()}
+
+    def __iter__(self) -> Iterator[tuple[list, dict]]:
+        rng = jax.random.PRNGKey(self.seed + self.epoch)
+        self.epoch += 1
+        for keys, batch in self.loader:
+            batch = self._pad_batch_dim(batch)
+            if self.mesh is not None:
+                shardings = mesh_lib.batch_shardings(batch, self.mesh)
+                batch = jax.device_put(batch, shardings)
+            else:
+                batch = jax.device_put(batch)
+            if "wav" in batch:
+                rng, k = jax.random.split(rng)
+                feats, flens = compute_features(
+                    batch["wav"], batch["wav_lens"], k, self.frontend,
+                    self.train)
+                out = {"features": feats, "features_length": flens}
+                if "targets" in batch:
+                    out["targets"] = batch["targets"]
+                    out["targets_length"] = batch["targets_length"]
+            else:
+                from openeat_tpu.ops.frontend import augment_features
+                out = {k: v for k, v in batch.items()
+                       if k in ("features", "features_length", "targets",
+                                "targets_length")}
+                rng, k = jax.random.split(rng)
+                out["features"] = augment_features(
+                    out["features"], out["features_length"], k,
+                    self.frontend, self.train)
+            yield keys, out

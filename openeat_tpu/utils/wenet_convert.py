@@ -1,0 +1,209 @@
+"""WeNet / reference PyTorch checkpoint -> openeat_tpu param converter.
+
+Preserves the reference's WeNet pre-trained fine-tuning/decoding path
+(reference openeat/utils/checkpoint.py:71-96 partial init from WeNet
+state_dicts; examples/wenet_pre-trained_decoding/run.sh:28-37): torch
+state_dict names are mapped onto the flax param tree with layout
+conversions:
+
+- Linear [out,in] -> Dense kernel [in,out] (transpose);
+- Conv2d [out,in,kh,kw] -> flax NHWC kernel [kh,kw,in,out];
+- depthwise Conv1d [C,1,k] -> flax kernel [k,1,C];
+- pointwise Conv1d [out,in,1] -> Dense kernel [in,out];
+- the post-subsampling projection's input dim is re-permuted from
+  torch's (C, F) flatten order to our (F, C) NHWC order;
+- Embedding / LayerNorm map 1:1 (weight->scale for LN).
+
+`concat_linear` params are skipped like the reference (checkpoint.py:89).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import numpy as np
+
+
+def _set(tree: dict, path: str, value: np.ndarray) -> None:
+    parts = path.split("/")
+    node = tree
+    for p in parts[:-1]:
+        node = node.setdefault(p, {})
+    node[parts[-1]] = value
+
+
+def _map_attention(rest: str, w: np.ndarray):
+    m = re.fullmatch(r"(linear_(?:q|k|v|out|pos))\.(weight|bias)", rest)
+    if m:
+        name, kind = m.groups()
+        if kind == "weight":
+            return f"{name}/kernel", w.T
+        return f"{name}/bias", w
+    if rest in ("pos_bias_u", "pos_bias_v"):
+        return rest, w
+    return None
+
+
+def _map_layernorm(name: str, kind: str, w: np.ndarray):
+    return f"{name}/{'scale' if kind == 'weight' else 'bias'}", w
+
+
+def convert_wenet_state_dict(state: dict[str, Any], d_model: int,
+                             subsample_conv_channels: int | None = None
+                             ) -> dict:
+    """torch state_dict (tensor or ndarray values) -> {'params': {...}}."""
+    out: dict = {}
+    for key, val in state.items():
+        w = np.asarray(getattr(val, "numpy", lambda: val)()
+                       if hasattr(val, "numpy") else val, np.float32)
+        if "concat_linear" in key:
+            continue
+        path = _convert_key(key, w, d_model)
+        if path is not None:
+            _set(out, "params/" + path[0], path[1])
+    return out
+
+
+def _convert_key(key: str, w: np.ndarray, d_model: int):
+    # ---- CMVN ----
+    if key == "encoder.global_cmvn.mean":
+        return "encoder/global_cmvn/mean", w
+    if key == "encoder.global_cmvn.istd":
+        return "encoder/global_cmvn/istd", w
+
+    # ---- subsampling embed ----
+    m = re.fullmatch(r"encoder\.embed\.conv\.(\d+)\.(weight|bias)", key)
+    if m:
+        idx, kind = int(m.group(1)), m.group(2)
+        conv_i = idx // 2  # torch Sequential conv,relu,conv,relu
+        if kind == "weight":
+            return (f"encoder/embed/Conv_{conv_i}/kernel",
+                    w.transpose(2, 3, 1, 0))
+        return f"encoder/embed/Conv_{conv_i}/bias", w
+    m = re.fullmatch(r"encoder\.embed\.out\.0\.(weight|bias)", key)
+    if m:
+        kind = m.group(1)
+        if kind == "weight":
+            # torch flatten order (C, F) -> ours (F, C)
+            out_dim, in_dim = w.shape
+            c = d_model
+            f = in_dim // c
+            w2 = w.reshape(out_dim, c, f).transpose(2, 1, 0).reshape(
+                in_dim, out_dim)
+            return "encoder/embed/Dense_0/kernel", w2
+        return "encoder/embed/Dense_0/bias", w
+    # linear-no-subsampling variant
+    m = re.fullmatch(r"encoder\.embed\.(out|linear)\.(weight|bias)", key)
+    if m:
+        kind = m.group(2)
+        if kind == "weight":
+            return "encoder/embed/Dense_0/kernel", w.T
+        return "encoder/embed/Dense_0/bias", w
+
+    # ---- encoder blocks ----
+    m = re.fullmatch(r"encoder\.encoders\.(\d+)\.(.+)", key)
+    if m:
+        i, rest = int(m.group(1)), m.group(2)
+        base = f"encoder/encoders/layer_{i}"
+        r = _convert_block_key(rest, w)
+        return (f"{base}/{r[0]}", r[1]) if r else None
+    if key.startswith("encoder.after_norm."):
+        kind = key.rsplit(".", 1)[1]
+        return _map_layernorm("encoder/encoders/after_norm", kind, w)
+
+    # ---- ctc ----
+    m = re.fullmatch(r"ctc\.ctc_lo\.(weight|bias)", key)
+    if m:
+        if m.group(1) == "weight":
+            return "ctc/ctc_lo/kernel", w.T
+        return "ctc/ctc_lo/bias", w
+
+    # ---- decoders ----
+    m = re.fullmatch(
+        r"decoder\.(left_decoder|right_decoder)\.(.+)", key)
+    side = None
+    rest = None
+    if m:
+        side, rest = m.group(1), m.group(2)
+    elif key.startswith("decoder."):
+        side, rest = "left_decoder", key[len("decoder."):]
+    if side is not None:
+        base = f"decoder/{side}"
+        m2 = re.fullmatch(r"embed\.0\.weight", rest)
+        if m2:
+            return f"{base}/embed/embedding", w
+        m2 = re.fullmatch(r"decoders\.(\d+)\.(.+)", rest)
+        if m2:
+            i, sub = int(m2.group(1)), m2.group(2)
+            r = _convert_block_key(sub, w)
+            return (f"{base}/decoders/layer_{i}/{r[0]}", r[1]) if r else None
+        if rest.startswith("after_norm."):
+            return _map_layernorm(f"{base}/after_norm",
+                                  rest.rsplit(".", 1)[1], w)
+        m2 = re.fullmatch(r"output_layer\.(weight|bias)", rest)
+        if m2:
+            if m2.group(1) == "weight":
+                return f"{base}/output_layer/kernel", w.T
+            return f"{base}/output_layer/bias", w
+    return None
+
+
+def _convert_block_key(rest: str, w: np.ndarray):
+    """Shared encoder/decoder block param mapping."""
+    m = re.fullmatch(r"(self_attn|src_attn)\.(.+)", rest)
+    if m:
+        r = _map_attention(m.group(2), w)
+        return (f"{m.group(1)}/{r[0]}", r[1]) if r else None
+    m = re.fullmatch(r"(feed_forward|feed_forward_macaron)\.(w_[12])"
+                     r"\.(weight|bias)", rest)
+    if m:
+        ff, lin, kind = m.groups()
+        if kind == "weight":
+            return f"{ff}/{lin}/kernel", w.T
+        return f"{ff}/{lin}/bias", w
+    m = re.fullmatch(r"conv_module\.(pointwise_conv[12])\.(weight|bias)",
+                     rest)
+    if m:
+        name, kind = m.groups()
+        if kind == "weight":  # [out, in, 1] -> [in, out]
+            return f"conv_module/{name}/kernel", w[..., 0].T
+        return f"conv_module/{name}/bias", w
+    m = re.fullmatch(r"conv_module\.depthwise_conv\.(weight|bias)", rest)
+    if m:
+        if m.group(1) == "weight":  # [C, 1, k] -> [k, 1, C]
+            return "conv_module/depthwise_conv/kernel", w.transpose(2, 1, 0)
+        return "conv_module/depthwise_conv/bias", w
+    m = re.fullmatch(r"conv_module\.norm\.(weight|bias)", rest)
+    if m:
+        return _map_layernorm("conv_module/norm", m.group(1), w)
+    m = re.fullmatch(
+        r"(norm_ff|norm_mha|norm_conv|norm_ff_macaron|norm_final"
+        r"|norm1|norm2|norm3)\.(weight|bias)", rest)
+    if m:
+        return _map_layernorm(m.group(1), m.group(2), w)
+    m = re.fullmatch(r"adapter\.(.+)", rest)
+    if m:
+        sub = m.group(1)
+        m2 = re.fullmatch(r"(down_proj|up_proj)\.(weight|bias)", sub)
+        if m2:
+            if m2.group(2) == "weight":
+                return f"adapter/{m2.group(1)}/kernel", w.T
+            return f"adapter/{m2.group(1)}/bias", w
+        m2 = re.fullmatch(r"norm\.(weight|bias)", sub)
+        if m2:
+            return _map_layernorm("adapter/norm", m2.group(1), w)
+        if sub == "scale":
+            return "adapter/scale", w
+    return None
+
+
+def load_wenet_checkpoint(path: str, d_model: int) -> dict:
+    """Load a torch .pt state_dict and convert (torch CPU required)."""
+    import torch
+    state = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(state, dict) and "state_dict" in state:
+        state = state["state_dict"]
+    state = {k: v.numpy() for k, v in state.items()
+             if hasattr(v, "numpy")}
+    return convert_wenet_state_dict(state, d_model)
