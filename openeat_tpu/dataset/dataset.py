@@ -73,7 +73,8 @@ class AudioCollate:
     def __init__(self, resample_rate: int = 16000,
                  speed_perturb_rate: float = 0.0, speeds=(0.9, 1.1, 0.1),
                  wav_bucket_ms: int = 1000, token_bucket: int = 8,
-                 frame_bucket: int = 100, seed: int = 777):
+                 frame_bucket: int = 100, seed: int = 777,
+                 use_native_io: bool = True, io_threads: int = 8):
         self.resample_rate = resample_rate
         self.speed_perturb_rate = speed_perturb_rate
         self.speeds = speeds
@@ -81,19 +82,55 @@ class AudioCollate:
         self.token_bucket = token_bucket
         self.frame_bucket = frame_bucket
         self.rng = np.random.default_rng(seed)
+        self.io_threads = io_threads
+        if use_native_io:
+            from openeat_tpu.runtime import native_io
+            self.native_io = native_io if native_io.available() else None
+        else:
+            self.native_io = None
+
+    def _load_wavs_native(self, batch: list[Utterance]):
+        """Batch-decode wav segments with the C++ thread pool."""
+        entries = [parse_wav_entry(u.path) for u in batch]
+        # estimated frame count (10ms) -> generous sample capacity
+        cap = max(int(max(u.num_frames for u in batch) * self.resample_rate
+                      * 0.01 * 1.3) + self.resample_rate, 1)
+        wav, lens, rates = self.native_io.read_wav_batch(
+            [e[0] for e in entries], [e[1] for e in entries],
+            [e[2] for e in entries], cap, self.io_threads)
+        out = []
+        for i, u in enumerate(batch):
+            if lens[i] == 0:
+                out.append(None)
+                continue
+            x = wav[i, : lens[i]] * 32768.0
+            if rates[i] != self.resample_rate:
+                x = audio_lib.resample(x, int(rates[i]),
+                                       self.resample_rate)
+            out.append(x)
+        return out
 
     def __call__(self, batch: list[Utterance]) -> dict:
         keys, wavs, feats, tokens = [], [], [], []
-        for u in batch:
+        use_native = (self.native_io is not None
+                      and all(u.feat_dim == 0 for u in batch))
+        pre = self._load_wavs_native(batch) if use_native else None
+        for i, u in enumerate(batch):
             try:
                 if u.feat_dim > 0:
                     feats.append(kaldi_io.read_mat(u.path))
                 else:
-                    path, start, end = parse_wav_entry(u.path)
-                    x, rate = audio_lib.read_wav(path, start, end)
-                    x = x * 32768.0  # reference dataset.py:75
-                    if rate != self.resample_rate:
-                        x = audio_lib.resample(x, rate, self.resample_rate)
+                    if pre is not None:
+                        x = pre[i]
+                        if x is None:
+                            raise IOError("native decode failed")
+                    else:
+                        path, start, end = parse_wav_entry(u.path)
+                        x, rate = audio_lib.read_wav(path, start, end)
+                        x = x * 32768.0  # reference dataset.py:75
+                        if rate != self.resample_rate:
+                            x = audio_lib.resample(x, rate,
+                                                   self.resample_rate)
                     speed = u.speed
                     if self.rng.random() < self.speed_perturb_rate:
                         speed = audio_lib.random_speed(self.speeds, self.rng)

@@ -59,6 +59,7 @@ class ASRModel(nn.Module):
     use_global_cmvn: bool = False
     tie_word_embedding: bool = False
     remat: bool = False
+    ctc_impl: str = "optax"  # 'optax' | 'native' (Pallas kernel)
     compute_dtype: jnp.dtype = jnp.bfloat16
 
     @property
@@ -97,7 +98,7 @@ class ASRModel(nn.Module):
             dtype=self.compute_dtype,
         )
         self.ctc = CTCHead(self.vocab_size, self.length_normalized_loss,
-                           dtype=self.compute_dtype)
+                           impl=self.ctc_impl, dtype=self.compute_dtype)
         self.decoder = BiTransformerDecoder(
             vocab_size=self.vocab_size,
             d_model=self.d_model,
@@ -237,5 +238,6 @@ def build_asr_model(model_conf: dict, input_size: int, vocab_size: int,
         use_global_cmvn=use_global_cmvn,
         tie_word_embedding=mc.get("tie_word_embedding", False),
         remat=mc.get("remat", False),
+        ctc_impl=mc.get("ctc_impl", "optax"),
         compute_dtype=dtype,
     )

@@ -25,6 +25,7 @@ class CTCHead(nn.Module):
     vocab_size: int
     length_normalized_loss: bool = False
     blank_id: int = 0
+    impl: str = "optax"  # 'optax' | 'native' (Pallas on TPU, scan on CPU)
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -47,8 +48,15 @@ class CTCHead(nn.Module):
         label_pad = (jnp.arange(l)[None, :] >= ys_lens[:, None]).astype(
             jnp.float32)
         labels = jnp.where(label_pad > 0, 0, ys).astype(jnp.int32)
-        per_seq = optax.ctc_loss(logits, logit_pad, labels, label_pad,
-                                 blank_id=self.blank_id)
+        if self.impl == "native":
+            from openeat_tpu.ops.ctc_loss import ctc_loss as native_ctc
+            log_probs = jax.nn.log_softmax(logits, axis=-1)
+            per_seq = native_ctc(log_probs, hlens.astype(jnp.int32),
+                                 labels, ys_lens.astype(jnp.int32),
+                                 self.blank_id, True)
+        else:
+            per_seq = optax.ctc_loss(logits, logit_pad, labels, label_pad,
+                                     blank_id=self.blank_id)
         # zero_infinity semantics (torch CTCLoss zero_infinity=True): an
         # infeasible alignment (frames < labels + required blanks between
         # repeats) must contribute 0, not optax's log_epsilon penalty

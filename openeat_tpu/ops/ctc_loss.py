@@ -1,0 +1,305 @@
+"""CTC loss with a Pallas TPU forward-backward kernel and custom VJP.
+
+TPU-native replacement for the reference's torch.nn.CTCLoss C++/CUDA
+kernel (reference openeat/modules/ctc.py:25,42; SURVEY.md §2.6):
+
+- the host-side wrapper gathers per-frame extended-label log-probs
+  (label_logp [B, T, S], S = 2L+1 blank-interleaved) and scatters the
+  final posteriors back to the vocab — both are single XLA gathers;
+- the Pallas kernel runs the sequential log-space alpha (forward) and
+  beta (backward) recursions over T entirely in VMEM, one grid cell per
+  utterance, emitting gamma = alpha + beta - logZ for the gradient;
+- jax.custom_vjp wires the analytic gradient
+  d(-logZ)/d logp[t, v] = -sum_{s: z_s = v} exp(gamma[t, s]) into
+  autodiff, validated against torch.nn.CTCLoss grads in tests.
+
+A pure-JAX lax.scan path (`ctc_forward_scan`/`ctc_backward_scan`) with
+identical semantics runs everywhere and serves as the CPU fallback and
+test oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1.0e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def extended_labels(labels: jax.Array, label_lens: jax.Array,
+                    blank_id: int = 0) -> tuple[jax.Array, jax.Array]:
+    """labels [B, L] -> blank-interleaved z [B, S=2L+1], valid S lens."""
+    b, l = labels.shape
+    s = 2 * l + 1
+    z = jnp.full((b, s), blank_id, jnp.int32)
+    z = z.at[:, 1::2].set(labels.astype(jnp.int32))
+    s_lens = 2 * label_lens.astype(jnp.int32) + 1
+    return z, s_lens
+
+
+def _transition_masks(z: jax.Array) -> jax.Array:
+    """allow2 [B, S]: True where the skip transition s-2 -> s is legal
+    (position s is a label and z[s] != z[s-2])."""
+    b, s = z.shape
+    blank_pos = (jnp.arange(s)[None, :] % 2) == 0
+    z_m2 = jnp.concatenate([jnp.full((b, 2), -1, z.dtype), z[:, :-2]],
+                           axis=1)
+    return (~blank_pos) & (z != z_m2)
+
+
+def _logaddexp3(a, b, c):
+    m = jnp.maximum(a, jnp.maximum(b, c))
+    ms = jnp.where(m <= NEG_INF, 0.0, m)
+    out = ms + jnp.log(jnp.exp(a - ms) + jnp.exp(b - ms) + jnp.exp(c - ms))
+    return jnp.where(m <= NEG_INF, NEG_INF, out)
+
+
+# ---------------- pure-JAX path (oracle / CPU fallback) ------------------
+
+
+def ctc_forward_scan(label_logp: jax.Array, input_lens: jax.Array,
+                     s_lens: jax.Array, allow2: jax.Array):
+    """lax.scan alpha recursion. label_logp: [B, T, S] log p(z_s) at t.
+    Returns (loss [B], alphas [B, T, S])."""
+    b, t, s = label_logp.shape
+    pos = jnp.arange(s)[None, :]
+    alpha0 = jnp.where((pos < 2) & (pos < s_lens[:, None]),
+                       label_logp[:, 0, :], NEG_INF)
+
+    def step(alpha, xs):
+        lp_t, t_idx = xs
+        a1 = jnp.concatenate(
+            [jnp.full((b, 1), NEG_INF), alpha[:, :-1]], axis=1)
+        a2 = jnp.concatenate(
+            [jnp.full((b, 2), NEG_INF), alpha[:, :-2]], axis=1)
+        a2 = jnp.where(allow2, a2, NEG_INF)
+        new = _logaddexp3(alpha, a1, a2) + lp_t
+        new = jnp.where(t_idx[:, None] < input_lens[:, None], new, alpha)
+        return new, new
+
+    _, alphas = jax.lax.scan(
+        step, alpha0,
+        (jnp.moveaxis(label_logp[:, 1:], 1, 0),
+         jnp.tile(jnp.arange(1, t)[:, None], (1, b))))
+    alphas = jnp.concatenate([alpha0[None], alphas], axis=0)  # [T, B, S]
+    alphas = jnp.moveaxis(alphas, 0, 1)                       # [B, T, S]
+    last = alphas[jnp.arange(b), input_lens - 1]              # [B, S]
+    end1 = last[jnp.arange(b), s_lens - 1]
+    end2 = last[jnp.arange(b), jnp.maximum(s_lens - 2, 0)]
+    logz = _logaddexp3(end1, end2, jnp.full_like(end1, NEG_INF))
+    return -logz, alphas
+
+
+def ctc_backward_scan(label_logp, input_lens, s_lens, allow2):
+    """beta recursion (time-reversed). beta[t, s] EXCLUDES frame t's own
+    emission, so alpha + beta - logZ is the standard posterior."""
+    b, t, s = label_logp.shape
+    pos = jnp.arange(s)[None, :]
+    end_mask = (pos == (s_lens - 1)[:, None]) | \
+               (pos == jnp.maximum(s_lens - 2, 0)[:, None])
+    beta_init = jnp.where(end_mask, 0.0, NEG_INF)
+    allow2_f = jnp.concatenate(
+        [allow2[:, 2:], jnp.zeros((b, 2), bool)], axis=1)
+
+    def step(beta, xs):
+        lp_next, t_idx = xs  # label_logp at frame t+1
+        bnext = beta + lp_next
+        b1 = jnp.concatenate(
+            [bnext[:, 1:], jnp.full((b, 1), NEG_INF)], axis=1)
+        b2 = jnp.concatenate(
+            [bnext[:, 2:], jnp.full((b, 2), NEG_INF)], axis=1)
+        b2 = jnp.where(allow2_f, b2, NEG_INF)
+        new = _logaddexp3(bnext, b1, b2)
+        is_last = t_idx[:, None] == (input_lens[:, None] - 1)
+        new = jnp.where(is_last, beta_init, new)
+        new = jnp.where(t_idx[:, None] > input_lens[:, None] - 1, beta,
+                        new)
+        return new, new
+
+    _, betas = jax.lax.scan(
+        step, beta_init,
+        (jnp.moveaxis(label_logp, 1, 0)[::-1][:-1],
+         jnp.tile(jnp.arange(t - 2, -1, -1)[:, None], (1, b))))
+    betas = jnp.concatenate([beta_init[None], betas], axis=0)[::-1]
+    return jnp.moveaxis(betas, 0, 1)  # [B, T, S]
+
+
+# ---------------- Pallas kernel path ------------------------------------
+
+
+def _ctc_dp_kernel(lens_ref, slens_ref, label_logp_ref, allow2_ref,
+                   loss_ref, gamma_ref, alpha_buf, beta_buf):
+    """One utterance per grid cell.
+
+    label_logp_ref: [1, T, S]; allow2_ref: [1, 1, S] (i32 0/1);
+    lens/slens: [1, 1] SMEM; loss_ref: [1, 1] SMEM;
+    gamma_ref: [1, T, S]; alpha/beta_buf: [T, S] VMEM scratch.
+    """
+    _, t, s = label_logp_ref.shape
+    bi = pl.program_id(0)
+    length = lens_ref[bi, 0]
+    s_len = slens_ref[bi, 0]
+    allow2_i = allow2_ref[0, 0, :].reshape(1, s)
+    allow2 = allow2_i != 0
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+
+    def lae3(a, b, c):
+        m = jnp.maximum(a, jnp.maximum(b, c))
+        ms = jnp.where(m <= NEG_INF, 0.0, m)
+        out = ms + jnp.log(jnp.exp(a - ms) + jnp.exp(b - ms)
+                           + jnp.exp(c - ms))
+        return jnp.where(m <= NEG_INF, NEG_INF, out)
+
+    lp0 = label_logp_ref[0, 0, :].reshape(1, s)
+    alpha = jnp.where((col < 2) & (col < s_len), lp0, NEG_INF)
+    alpha_buf[0, :] = alpha[0]
+
+    def fwd(i, alpha):
+        lp = label_logp_ref[0, i, :].reshape(1, s)
+        a1 = jnp.where(col >= 1, pltpu.roll(alpha, 1, 1), NEG_INF)
+        a2 = jnp.where((col >= 2) & allow2, pltpu.roll(alpha, 2, 1),
+                       NEG_INF)
+        new = lae3(alpha, a1, a2) + lp
+        new = jnp.where(i < length, new, alpha)
+        alpha_buf[i, :] = new[0]
+        return new
+
+    alpha = jax.lax.fori_loop(1, t, fwd, alpha)
+
+    last = alpha_buf[pl.ds(length - 1, 1), :]  # [1, S]
+    end_mask = (col == s_len - 1) | (col == jnp.maximum(s_len - 2, 0))
+    ends = jnp.where(end_mask, last, NEG_INF)
+    mx = jnp.max(ends)
+    ms = jnp.where(mx <= NEG_INF, 0.0, mx)
+    logz = ms + jnp.log(jnp.sum(jnp.exp(ends - ms)))
+    logz = jnp.where(mx <= NEG_INF, NEG_INF, logz)
+    loss_ref[bi, 0] = -logz
+
+    beta_init = jnp.where(end_mask, 0.0, NEG_INF)
+    beta_buf[t - 1, :] = beta_init[0]
+    allow2_f = (col <= s - 3) & (pltpu.roll(allow2_i, s - 2, 1) != 0)
+
+    def bwd(k, beta):
+        i = t - 2 - k  # frame index being computed
+        lp_next = label_logp_ref[0, i + 1, :].reshape(1, s)
+        bnext = beta + lp_next
+        b1 = jnp.where(col <= s - 2, pltpu.roll(bnext, s - 1, 1), NEG_INF)
+        b2 = jnp.where((col <= s - 3) & allow2_f,
+                       pltpu.roll(bnext, s - 2, 1), NEG_INF)
+        new = lae3(bnext, b1, b2)
+        new = jnp.where(i == length - 1, beta_init, new)
+        new = jnp.where(i > length - 1, beta, new)
+        beta_buf[i, :] = new[0]
+        return new
+
+    jax.lax.fori_loop(0, t - 1, bwd, beta_init)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (t, s), 0)
+    gamma = alpha_buf[:, :] + beta_buf[:, :] - logz
+    gamma_ref[0, :, :] = jnp.where(row < length, gamma, NEG_INF)
+
+
+def _ctc_pallas(label_logp, input_lens, s_lens, allow2, interpret=False):
+    """label_logp [B, T, S] -> (loss [B], gamma [B, T, S])."""
+    b, t, s = label_logp.shape
+    s_pad = _round_up(s, 128)
+    pad = s_pad - s
+    if pad:
+        label_logp = jnp.pad(label_logp, ((0, 0), (0, 0), (0, pad)),
+                             constant_values=NEG_INF)
+        allow2 = jnp.pad(allow2, ((0, 0), (0, pad)))
+    loss, gamma = pl.pallas_call(
+        _ctc_dp_kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, t, s_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, t, s_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, t, s_pad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((t, s_pad), jnp.float32),
+            pltpu.VMEM((t, s_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(input_lens.astype(jnp.int32)[:, None],
+      s_lens.astype(jnp.int32)[:, None],
+      label_logp, allow2.astype(jnp.int32)[:, None, :])
+    return loss[:, 0], gamma[:, :, :s]
+
+
+# ---------------- public API with custom VJP -----------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def ctc_loss(log_probs: jax.Array, input_lens: jax.Array,
+             labels: jax.Array, label_lens: jax.Array,
+             blank_id: int = 0, use_pallas: bool = True) -> jax.Array:
+    """Per-sequence CTC negative log-likelihood.
+
+    log_probs: [B, T, V] log-softmax outputs; labels: [B, L].
+    Returns loss [B]; infeasible alignments yield ~|NEG_INF| (mask them
+    like torch zero_infinity, see modules.ctc).
+    """
+    loss, _ = _ctc_fwd_impl(log_probs, input_lens, labels, label_lens,
+                            blank_id, use_pallas)
+    return loss
+
+
+def _ctc_fwd_impl(log_probs, input_lens, labels, label_lens, blank_id,
+                  use_pallas):
+    z, s_lens = extended_labels(labels, label_lens, blank_id)
+    allow2 = _transition_masks(z)
+    label_logp = jnp.take_along_axis(
+        log_probs.astype(jnp.float32),
+        z[:, None, :].repeat(log_probs.shape[1], axis=1), axis=2)
+    if use_pallas and jax.default_backend() == "tpu":
+        loss, gamma = _ctc_pallas(label_logp, input_lens, s_lens, allow2)
+    else:
+        loss, alphas = ctc_forward_scan(label_logp, input_lens, s_lens,
+                                        allow2)
+        betas = ctc_backward_scan(label_logp, input_lens, s_lens, allow2)
+        gamma = alphas + betas + loss[:, None, None]  # alpha+beta-logZ
+    return loss, (gamma, z, input_lens, log_probs.shape)
+
+
+def _ctc_vjp_fwd(log_probs, input_lens, labels, label_lens, blank_id,
+                 use_pallas):
+    return _ctc_fwd_impl(log_probs, input_lens, labels, label_lens,
+                         blank_id, use_pallas)
+
+
+def _ctc_vjp_bwd(blank_id, use_pallas, res, g):
+    gamma, z, input_lens, shape = res
+    b, t, v = shape
+    post = jnp.exp(jnp.minimum(gamma, 0.0))  # [B, T, S]
+    grad = jax.vmap(
+        lambda p_b, z_b: jax.ops.segment_sum(
+            p_b.T, z_b, num_segments=v).T)(post, z)  # [B, T, V]
+    grad = -grad * g[:, None, None]
+    valid = jnp.arange(t)[None, :, None] < input_lens[:, None, None]
+    grad = jnp.where(valid, grad, 0.0)
+    return grad.astype(jnp.float32), None, None, None
+
+
+ctc_loss.defvjp(_ctc_vjp_fwd, _ctc_vjp_bwd)
