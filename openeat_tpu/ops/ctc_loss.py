@@ -248,6 +248,139 @@ def _ctc_pallas(label_logp, input_lens, s_lens, allow2, interpret=False):
     return loss[:, 0], gamma[:, :, :s]
 
 
+def _ctc_dp_kernel_batched(lens_ref, slens_ref, label_logp_ref, allow2_ref,
+                           loss_ref, gamma_ref, alpha_hist, beta_hist):
+    """All utterances in one cell, batch vectorized on the sublane dim.
+
+    label_logp_ref: [T, B, S] (time-major); allow2_ref: [B, S] i32;
+    lens/slens: [B, 1] VMEM i32; loss_ref: [B, 1] VMEM f32;
+    gamma_ref: [T, B, S]; alpha_hist/beta_hist: [T, B, S] VMEM scratch.
+
+    Each DP step is one [B, S] VPU op instead of the per-utterance
+    [1, S] rows of `_ctc_dp_kernel`, which is ~B times fewer (and far
+    wider) vector instructions.
+    """
+    t, b, s = label_logp_ref.shape
+    lens_v = lens_ref[:, :]    # [B, 1] i32 (VMEM)
+    slens_v = slens_ref[:, :]  # [B, 1] i32
+    allow2 = allow2_ref[:, :] != 0
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
+
+    def lae3(x, y, z):
+        m = jnp.maximum(x, jnp.maximum(y, z))
+        ms = jnp.where(m <= NEG_INF, 0.0, m)
+        out = ms + jnp.log(jnp.exp(x - ms) + jnp.exp(y - ms)
+                           + jnp.exp(z - ms))
+        return jnp.where(m <= NEG_INF, NEG_INF, out)
+
+    lp0 = label_logp_ref[0, :, :]
+    alpha = jnp.where((col < 2) & (col < slens_v), lp0, NEG_INF)
+    alpha_hist[0, :, :] = alpha
+
+    def fwd(i, carry):
+        alpha, final = carry
+        lp = label_logp_ref[i, :, :]
+        a1 = jnp.where(col >= 1, pltpu.roll(alpha, 1, 1), NEG_INF)
+        a2 = jnp.where((col >= 2) & allow2, pltpu.roll(alpha, 2, 1),
+                       NEG_INF)
+        new = lae3(alpha, a1, a2) + lp
+        new = jnp.where(i < lens_v, new, alpha)
+        alpha_hist[i, :, :] = new
+        final = jnp.where(i == lens_v - 1, new, final)
+        return new, final
+
+    final0 = jnp.where(lens_v == 1, alpha, jnp.full((b, s), NEG_INF))
+    alpha, final = jax.lax.fori_loop(1, t, fwd, (alpha, final0))
+
+    end_mask = (col == slens_v - 1) | (col == jnp.maximum(slens_v - 2, 0))
+    ends = jnp.where(end_mask, final, NEG_INF)
+    mx = jnp.max(ends, axis=1, keepdims=True)
+    ms = jnp.where(mx <= NEG_INF, 0.0, mx)
+    logz = ms + jnp.log(jnp.sum(jnp.exp(ends - ms), axis=1,
+                                keepdims=True))
+    logz = jnp.where(mx <= NEG_INF, NEG_INF, logz)  # [B, 1]
+    loss_ref[:, :] = -logz
+
+    beta_init = jnp.where(end_mask, 0.0, NEG_INF)
+    beta_hist[t - 1, :, :] = beta_init
+    allow2_f = (col <= s - 3) & (pltpu.roll(allow2_ref[:, :], s - 2, 1)
+                                 != 0)
+
+    def bwd(k, beta):
+        i = t - 2 - k
+        lp_next = label_logp_ref[i + 1, :, :]
+        bnext = beta + lp_next
+        b1 = jnp.where(col <= s - 2, pltpu.roll(bnext, s - 1, 1), NEG_INF)
+        b2 = jnp.where((col <= s - 3) & allow2_f,
+                       pltpu.roll(bnext, s - 2, 1), NEG_INF)
+        new = lae3(bnext, b1, b2)
+        new = jnp.where(i == lens_v - 1, beta_init, new)
+        new = jnp.where(i > lens_v - 1, beta, new)
+        beta_hist[i, :, :] = new
+        return new
+
+    jax.lax.fori_loop(0, t - 1, bwd, beta_init)
+
+    def emit(i, _):
+        row = alpha_hist[i, :, :] + beta_hist[i, :, :] - logz
+        gamma_ref[i, :, :] = jnp.where(i < lens_v, row, NEG_INF)
+        return 0
+
+    jax.lax.fori_loop(0, t, emit, 0)
+
+
+_BATCHED_VMEM_BUDGET = 10 * 1024 * 1024  # bytes, ~4 [T,B,S] f32 buffers
+
+
+def _ctc_pallas_batched(label_logp, input_lens, s_lens, allow2,
+                        interpret=False):
+    b, t, s = label_logp.shape
+    s_pad = _round_up(s, 128)
+    b_pad = _round_up(b, 8)
+    lp = jnp.full((t, b_pad, s_pad), NEG_INF, jnp.float32)
+    lp = lp.at[:, :b, :s].set(jnp.moveaxis(label_logp, 1, 0))
+    a2 = jnp.zeros((b_pad, s_pad), jnp.int32)
+    a2 = a2.at[:b, :s].set(allow2.astype(jnp.int32))
+    il = jnp.ones((b_pad, 1), jnp.int32)
+    il = il.at[:b, 0].set(input_lens.astype(jnp.int32))
+    sl = jnp.ones((b_pad, 1), jnp.int32)
+    sl = sl.at[:b, 0].set(s_lens.astype(jnp.int32))
+    loss, gamma = pl.pallas_call(
+        _ctc_dp_kernel_batched,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((t, b_pad, s_pad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((t, b_pad, s_pad), jnp.float32),
+            pltpu.VMEM((t, b_pad, s_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(il, sl, lp, a2)
+    return loss[:b, 0], jnp.moveaxis(gamma, 0, 1)[:b, :, :s]
+
+
+def _pallas_dispatch(label_logp, input_lens, s_lens, allow2,
+                     interpret=False):
+    b, t, s = label_logp.shape
+    s_pad = _round_up(s, 128)
+    b_pad = _round_up(b, 8)
+    if 4 * t * b_pad * s_pad * 4 <= _BATCHED_VMEM_BUDGET:
+        return _ctc_pallas_batched(label_logp, input_lens, s_lens, allow2,
+                                   interpret)
+    return _ctc_pallas(label_logp, input_lens, s_lens, allow2, interpret)
+
+
 # ---------------- public API with custom VJP -----------------------------
 
 
@@ -274,7 +407,8 @@ def _ctc_fwd_impl(log_probs, input_lens, labels, label_lens, blank_id,
         log_probs.astype(jnp.float32),
         z[:, None, :].repeat(log_probs.shape[1], axis=1), axis=2)
     if use_pallas and jax.default_backend() == "tpu":
-        loss, gamma = _ctc_pallas(label_logp, input_lens, s_lens, allow2)
+        loss, gamma = _pallas_dispatch(label_logp, input_lens, s_lens,
+                                       allow2)
     else:
         loss, alphas = ctc_forward_scan(label_logp, input_lens, s_lens,
                                         allow2)
