@@ -60,6 +60,8 @@ class ASRModel(nn.Module):
     tie_word_embedding: bool = False
     remat: bool = False
     ctc_impl: str = "optax"  # 'optax' | 'native' (Pallas kernel)
+    static_chunk_size: int = 0   # >0: streaming-style chunked attention
+    num_left_chunks: int = -1
     compute_dtype: jnp.dtype = jnp.bfloat16
 
     @property
@@ -94,6 +96,8 @@ class ASRModel(nn.Module):
             num_blocks=self.encoder_num_blocks,
             num_blocks_share=self.encoder_num_blocks_share,
             use_global_cmvn=self.use_global_cmvn,
+            static_chunk_size=self.static_chunk_size,
+            num_left_chunks=self.num_left_chunks,
             remat=self.remat,
             dtype=self.compute_dtype,
         )
@@ -239,5 +243,7 @@ def build_asr_model(model_conf: dict, input_size: int, vocab_size: int,
         tie_word_embedding=mc.get("tie_word_embedding", False),
         remat=mc.get("remat", False),
         ctc_impl=mc.get("ctc_impl", "optax"),
+        static_chunk_size=mc.get("static_chunk_size", 0),
+        num_left_chunks=mc.get("num_left_chunks", -1),
         compute_dtype=dtype,
     )

@@ -58,7 +58,8 @@ class Encoder(nn.Module):
 
     @nn.compact
     def __call__(self, xs: jax.Array, mask: jax.Array, pos_emb: jax.Array,
-                 *, deterministic: bool = True) -> jax.Array:
+                 mask_pad: jax.Array | None = None, *,
+                 deterministic: bool = True) -> jax.Array:
         layer_cls = EncoderLayer
         if self.remat:
             layer_cls = nn.remat(EncoderLayer, static_argnums=())
@@ -83,7 +84,8 @@ class Encoder(nn.Module):
         ]
         for layer in layers:
             for _ in range(self.num_blocks_share):
-                xs = layer(xs, mask, pos_emb, deterministic=deterministic)
+                xs = layer(xs, mask, pos_emb, mask_pad,
+                           deterministic=deterministic)
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                             name="after_norm")(xs)
 
@@ -110,6 +112,8 @@ class TransformerEncoder(nn.Module):
     num_blocks: int = 6
     num_blocks_share: int = 1
     use_global_cmvn: bool = False
+    static_chunk_size: int = 0     # >0: chunked (streaming-style) attention
+    num_left_chunks: int = -1      # -1: unlimited left context
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -138,8 +142,13 @@ class TransformerEncoder(nn.Module):
             self.d_model, pos_enc, name="embed", **sub_kwargs)
         xs, pos_emb, out_lens = embed(xs, xs_lens,
                                       deterministic=deterministic)
-        from openeat_tpu.utils.mask import make_non_pad_mask
-        mask = make_non_pad_mask(out_lens, xs.shape[1])[:, None, :]  # [B,1,T]
+        from openeat_tpu.utils.mask import chunk_mask, make_non_pad_mask
+        mask_pad = make_non_pad_mask(out_lens, xs.shape[1])[:, None, :]
+        mask = mask_pad  # [B, 1, T]
+        if self.static_chunk_size > 0:
+            cm = chunk_mask(xs.shape[1], self.static_chunk_size,
+                            self.num_left_chunks)
+            mask = mask & cm[None, :, :]  # [B, T, T]
         xs = Encoder(
             d_model=self.d_model,
             dropout_rate=self.dropout_rate,
@@ -158,5 +167,5 @@ class TransformerEncoder(nn.Module):
             remat=self.remat,
             dtype=self.dtype,
             name="encoders",
-        )(xs, mask, pos_emb, deterministic=deterministic)
+        )(xs, mask, pos_emb, mask_pad, deterministic=deterministic)
         return xs, out_lens, pos_emb

@@ -43,8 +43,15 @@ class EncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array, pos_emb: jax.Array,
-                 *, deterministic: bool = True) -> jax.Array:
-        """x: [B,T,D]; mask: bool [B,1,T] (True=valid); pos_emb: [1,T,D]."""
+                 mask_pad: jax.Array | None = None, *,
+                 deterministic: bool = True) -> jax.Array:
+        """x: [B,T,D]; mask: bool [B,1,T] or [B,T,T] attention mask
+        (True=attend); mask_pad: bool [B,1,T] padding mask for the conv
+        module (defaults to `mask` when it is [B,1,T]); pos_emb: [1,T,D].
+        """
+        if mask_pad is None:
+            assert mask.shape[1] == 1, "chunked mask needs explicit mask_pad"
+            mask_pad = mask
         ln = lambda name: nn.LayerNorm(epsilon=1e-12, dtype=self.dtype,
                                        name=name)
         drop = nn.Dropout(self.dropout_rate)
@@ -71,7 +78,8 @@ class EncoderLayer(nn.Module):
             h = ConvolutionModule(
                 self.d_model, self.cnn_module_kernel, self.activation,
                 self.causal, dtype=self.dtype, name="conv_module")(
-                    ln("norm_conv")(x), mask, deterministic=deterministic)
+                    ln("norm_conv")(x), mask_pad,
+                    deterministic=deterministic)
             x = x + drop(h, deterministic=deterministic)
 
         adapter_update = 0.0

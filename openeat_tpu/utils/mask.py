@@ -46,6 +46,23 @@ def make_non_pad_mask(lengths: jax.Array, max_len: int) -> jax.Array:
     return ~make_pad_mask(lengths, max_len)
 
 
+def chunk_mask(size: int, chunk_size: int,
+               num_left_chunks: int = -1) -> jax.Array:
+    """Chunked-attention mask [size, size]: queries attend within their
+    chunk plus `num_left_chunks` previous chunks (-1 = all history).
+
+    Streaming-style training mask (the reference exposes only causal
+    convs + decode caches, SURVEY.md §5 long-context: this is the
+    chunked-training extension, WeNet-style static chunks).
+    """
+    q = jax.lax.broadcasted_iota(jnp.int32, (size, size), 0) // chunk_size
+    k = jax.lax.broadcasted_iota(jnp.int32, (size, size), 1) // chunk_size
+    m = k <= q
+    if num_left_chunks >= 0:
+        m = m & (k >= q - num_left_chunks)
+    return m
+
+
 def make_attn_mask(lengths: jax.Array, max_len: int, causal: bool = False) -> jax.Array:
     """Combined padding(+causal) attention mask; [B, T, T] bool, True = attend.
 

@@ -1,0 +1,64 @@
+"""Chunked (streaming-style) encoder tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openeat_tpu.models.asr_model import ASRModel
+from openeat_tpu.utils.mask import chunk_mask
+
+F, VOCAB = 20, 30
+
+
+def test_chunk_mask_shape():
+    m = np.asarray(chunk_mask(8, 2, num_left_chunks=1))
+    # query in chunk c attends chunks [c-1, c]
+    assert m[5, 2]  # q chunk 2 (pos 5), k chunk 1 (pos 2) -> visible
+    assert not m[5, 1]  # k chunk 0 -> masked
+    assert not m[2, 4]  # future chunk masked
+    assert m[0, 0] and m[7, 7]
+
+
+def test_chunked_encoder_causality(rng):
+    """With chunked attention + causal convs, frames beyond the current
+    chunk must not influence earlier chunk outputs."""
+    model = ASRModel(
+        input_size=F, vocab_size=VOCAB, encoder_num_blocks=2,
+        decoder_num_blocks=1, r_decoder_num_blocks=0, reverse_weight=0.0,
+        d_model=32, attention_heads=2, linear_units=64,
+        input_layer="linear", causal=True, static_chunk_size=4,
+        num_left_chunks=-1, dropout_rate=0.0, compute_dtype=jnp.float32)
+    t = 16
+    feats = jnp.asarray(rng.standard_normal((1, t, F)), jnp.float32)
+    lens = jnp.array([t])
+    tgt = jnp.asarray(rng.integers(1, VOCAB - 1, (1, 4)), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), feats, lens, tgt,
+                        jnp.array([4]))
+    enc_full, _ = model.apply(params, feats, lens,
+                              method=ASRModel.encode)
+    # perturb the last chunk: first 3 chunks must be unchanged
+    feats2 = feats.at[:, 12:, :].set(0.0)
+    enc_pert, _ = model.apply(params, feats2, lens,
+                              method=ASRModel.encode)
+    np.testing.assert_allclose(np.asarray(enc_full[:, :12]),
+                               np.asarray(enc_pert[:, :12]),
+                               rtol=1e-4, atol=1e-5)
+    # and the last chunk does change
+    assert not np.allclose(np.asarray(enc_full[:, 12:]),
+                           np.asarray(enc_pert[:, 12:]))
+
+
+def test_chunked_training_runs(rng):
+    model = ASRModel(
+        input_size=F, vocab_size=VOCAB, encoder_num_blocks=2,
+        decoder_num_blocks=1, r_decoder_num_blocks=0, reverse_weight=0.0,
+        d_model=32, attention_heads=2, linear_units=64,
+        input_layer="conv2d", causal=True, static_chunk_size=8,
+        num_left_chunks=2, compute_dtype=jnp.float32)
+    feats = jnp.asarray(rng.standard_normal((2, 64, F)), jnp.float32)
+    lens = jnp.array([64, 40])
+    tgt = jnp.asarray(rng.integers(1, VOCAB - 1, (2, 5)), jnp.int32)
+    tlens = jnp.array([5, 3])
+    params = model.init(jax.random.PRNGKey(0), feats, lens, tgt, tlens)
+    m = model.apply(params, feats, lens, tgt, tlens)
+    assert np.isfinite(float(m["loss"]))
