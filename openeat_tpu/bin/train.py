@@ -62,6 +62,8 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_epoch", type=int, default=None)
     p.add_argument("--data_type", default="wav", choices=["wav", "feat",
                                                           "kaldi"])
+    p.add_argument("--profile_dir", default=None,
+                   help="capture a jax.profiler trace of early steps here")
     return p
 
 
@@ -193,6 +195,20 @@ def main(argv=None):
                         train_cfg.log_interval, logger)
     dp = mesh.shape["data"]
     rng = jax.random.PRNGKey(train_cfg.seed)
+    if args.profile_dir:
+        # trace a few warm steps for TensorBoard/Perfetto inspection
+        from openeat_tpu.utils.profiling import trace
+        warm_loader = PrefetchLoader(train_ds, collate, args.num_workers)
+        warm_feed = DeviceFeeder(warm_loader, frontend, mesh, train=True,
+                                 seed=train_cfg.seed,
+                                 pad_batch_multiple=dp)
+        it = iter(warm_feed)
+        _, wb = next(it)
+        state, _ = train_step(state, wb, jax.random.PRNGKey(0))  # compile
+        with trace(args.profile_dir):
+            for _ in range(3):
+                state, _ = train_step(state, wb, jax.random.PRNGKey(1))
+        logger.info("profiler trace written to %s", args.profile_dir)
     for epoch in range(start_epoch, train_cfg.max_epoch):
         train_loader = PrefetchLoader(train_ds, collate, args.num_workers,
                                       shuffle_batches=True,
