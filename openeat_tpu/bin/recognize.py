@@ -122,6 +122,11 @@ def main(argv=None):
                                               method=ASRModel.encode))
     ctc_logp = jax.jit(lambda e: model.apply(params, e,
                                              method=ASRModel.ctc_log_probs))
+    rescore = jax.jit(lambda enc, lens, nb, nl, ns: attention_rescoring(
+        model, params, enc, lens, nb, nl, ns,
+        ctc_weight=args.ctc_weight, reverse_weight=args.reverse_weight,
+        lm_logp_fn=lm_logp_fn,
+        lm_weight=args.lm_weight if lm_logp_fn else 0.0))
 
     n_done = 0
     os.makedirs(os.path.dirname(os.path.abspath(args.result_file)),
@@ -145,12 +150,8 @@ def main(argv=None):
                 nbest, nbest_lens, nbest_scores = ctc_prefix_beam_search(
                     ctc_logp(enc), enc_lens, beam_size=args.beam_size,
                     max_hyp_len=args.max_hyp_len)
-                hyps, hyp_lens, _ = attention_rescoring(
-                    model, params, enc, enc_lens, nbest, nbest_lens,
-                    nbest_scores, ctc_weight=args.ctc_weight,
-                    reverse_weight=args.reverse_weight,
-                    lm_logp_fn=lm_logp_fn, lm_weight=args.lm_weight
-                    if lm_logp_fn else 0.0)
+                hyps, hyp_lens, _ = rescore(enc, enc_lens, nbest,
+                                            nbest_lens, nbest_scores)
                 if ngram is not None and args.lm_weight > 0:
                     # host n-gram rescoring over the nbest (kenlm path,
                     # reference asr_model.py:514-516)

@@ -59,7 +59,9 @@ class Executor:
             n_batches += 1
             fl = batch.get("features_length")
             if fl is not None:
-                frames += int(np.sum(np.asarray(fl)))
+                # async device-side accumulation — no host sync per step
+                frames = frames + jax.numpy.sum(fl)
+        frames = int(jax.device_get(frames)) if n_batches else 0  # drains
         dt = time.time() - t0
         summary = {
             "train_loss": tot_loss / max(n_seen, 1),
