@@ -49,8 +49,10 @@ class EncoderLayer(nn.Module):
         (True=attend); mask_pad: bool [B,1,T] padding mask for the conv
         module (defaults to `mask` when it is [B,1,T]); pos_emb: [1,T,D].
         """
-        if mask_pad is None:
-            assert mask.shape[1] == 1, "chunked mask needs explicit mask_pad"
+        if mask_pad is None and self.use_cnn_module:
+            assert mask.shape[1] == 1, \
+                "a [B,T,T] attention mask needs an explicit [B,1,T] " \
+                "mask_pad for the convolution module"
             mask_pad = mask
         ln = lambda name: nn.LayerNorm(epsilon=1e-12, dtype=self.dtype,
                                        name=name)
