@@ -97,6 +97,76 @@ def attention_beam_search(decoder_step_fn, encoder_out: jax.Array,
     return hyps, first_eos.astype(jnp.int32), best_scores
 
 
+def attention_beam_search_cached(model, params, encoder_out: jax.Array,
+                                 encoder_lens: jax.Array, *, beam_size: int,
+                                 max_steps: int
+                                 ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """KV-cached beam search: per-step cost is one single-position
+    decoder evaluation (self-attn over cached keys, cross-attn over
+    K/V projected once), instead of the full-prefix recompute of
+    :func:`attention_beam_search`. Produces identical hypotheses
+    (tested); use this for serving.
+    """
+    b, t, d = encoder_out.shape
+    n = beam_size
+    m = b * n
+    sos, eos = model.sos, model.eos
+    memory = jnp.repeat(encoder_out, n, axis=0)
+    memory_lens = jnp.repeat(encoder_lens, n, axis=0)
+    cache0 = model.apply(params, memory, m, max_steps + 1,
+                         method=type(model).decoder_init_cache)
+
+    init = (BeamState(
+        tokens=jnp.full((m, max_steps + 1), eos, jnp.int32).at[:, 0].set(sos),
+        scores=jnp.tile(jnp.full((n,), NEG_INF).at[0].set(0.0), (b,)),
+        finished=jnp.zeros((m,), bool),
+        step=jnp.zeros((), jnp.int32)), cache0)
+
+    def cond(carry):
+        state, _ = carry
+        return (state.step < max_steps) & ~jnp.all(state.finished)
+
+    def body(carry):
+        state, cache = carry
+        i = state.step
+        cur_tok = jax.lax.dynamic_slice_in_dim(state.tokens, i, 1,
+                                               axis=1)[:, 0]
+        logp, cache = model.apply(params, cur_tok, i, cache, memory_lens,
+                                  t, method=type(model).decoder_step)
+        top_lp, top_tok = jax.lax.top_k(logp, n)
+        top_lp = mask_finished_scores(top_lp, state.finished, eos_index=0)
+        top_tok = mask_finished_preds(top_tok, state.finished, eos)
+        cand = (state.scores[:, None] + top_lp).reshape(b, n * n)
+        best_sc, best_idx = jax.lax.top_k(cand, n)
+        beam_idx = best_idx // n
+        tok_idx = best_idx % n
+        src = (jnp.arange(b)[:, None] * n + beam_idx).reshape(-1)
+        new_tokens = state.tokens[src]
+        new_tok = top_tok.reshape(b, n, n)[
+            jnp.arange(b)[:, None], beam_idx, tok_idx].reshape(-1)
+        new_tokens = new_tokens.at[:, i + 1].set(new_tok)
+        new_finished = state.finished[src] | (new_tok == eos)
+        # reorder self-attention caches to follow their beams (cross K/V
+        # rows are identical within a batch, no gather needed)
+        cache = {"cross": cache["cross"],
+                 "self_k": tuple(c[src] for c in cache["self_k"]),
+                 "self_v": tuple(c[src] for c in cache["self_v"])}
+        return (BeamState(new_tokens, best_sc.reshape(-1), new_finished,
+                          i + 1), cache)
+
+    (final, _) = jax.lax.while_loop(cond, body, init)
+    scores = final.scores.reshape(b, n)
+    best = jnp.argmax(scores, axis=1)
+    best_tokens = final.tokens.reshape(b, n, -1)[jnp.arange(b), best, 1:]
+    best_scores = scores[jnp.arange(b), best]
+    is_eos = best_tokens == eos
+    first_eos = jnp.where(jnp.any(is_eos, axis=1),
+                          jnp.argmax(is_eos, axis=1), best_tokens.shape[1])
+    pos = jnp.arange(best_tokens.shape[1])[None, :]
+    hyps = jnp.where(pos < first_eos[:, None], best_tokens, IGNORE_ID)
+    return hyps, first_eos.astype(jnp.int32), best_scores
+
+
 def make_decoder_step_fn(model, params):
     """Full-prefix causal decoder scorer for ASRModel."""
     def fn(tokens, memory, memory_lens):
@@ -108,10 +178,14 @@ def make_decoder_step_fn(model, params):
 
 
 def recognize(model, params, encoder_out, encoder_lens, *, beam_size=10,
-              max_steps: int | None = None):
+              max_steps: int | None = None, use_cache: bool = True):
     """Reference `ASRModel.recognize` equivalent (asr_model.py:205-295)."""
     if max_steps is None:
         max_steps = int(encoder_out.shape[1])
+    if use_cache:
+        return attention_beam_search_cached(
+            model, params, encoder_out, encoder_lens, beam_size=beam_size,
+            max_steps=max_steps)
     return attention_beam_search(
         make_decoder_step_fn(model, params), encoder_out, encoder_lens,
         beam_size=beam_size, sos=model.sos, eos=model.eos,

@@ -185,6 +185,19 @@ class ASRModel(nn.Module):
     def ctc_log_probs(self, encoder_out):
         return self.ctc.log_softmax(encoder_out.astype(self.compute_dtype))
 
+    def decoder_init_cache(self, encoder_out, beam_batch: int,
+                           max_len: int):
+        """KV-cache for incremental left-decoder stepping (decode)."""
+        memory = encoder_out.astype(self.compute_dtype)
+        return self.decoder.init_cache(memory, beam_batch, max_len)
+
+    def decoder_step(self, tokens, pos, cache, encoder_out_lens,
+                     encoder_t: int):
+        """One-step decoder scores: ([B, V] f32 log-probs, new cache)."""
+        memory_mask = make_non_pad_mask(encoder_out_lens,
+                                        encoder_t)[:, None, :]
+        return self.decoder.forward_step(tokens, pos, cache, memory_mask)
+
     def decoder_logits(self, encoder_out, encoder_out_lens, ys_in,
                        ys_in_lens, reverse: bool = False):
         """Full forward of the (left or right) decoder on token prefixes.

@@ -82,6 +82,24 @@ class MultiHeadedAttention(nn.Module):
         return _attend(q, k, v, None, mask, self.d_k ** -0.5,
                        self.attn_dropout, deterministic, self.linear_out)
 
+    # ---- incremental-decode helpers (KV caching) ----
+
+    def project_q(self, query):
+        """[B, L, D] -> [B, L, H, Dk]."""
+        b = query.shape[0]
+        return self.linear_q(query).reshape(b, -1, self.num_heads, self.d_k)
+
+    def project_kv(self, x):
+        """[B, L, D] -> (k, v) each [B, L, H, Dk]."""
+        b = x.shape[0]
+        split = lambda y: y.reshape(b, -1, self.num_heads, self.d_k)
+        return split(self.linear_k(x)), split(self.linear_v(x))
+
+    def attend_cached(self, q, k, v, mask=None):
+        """Attention over precomputed k/v (no dropout — decode only)."""
+        return _attend(q, k, v, None, mask, self.d_k ** -0.5,
+                       self.attn_dropout, True, self.linear_out)
+
 
 class RelPositionMultiHeadedAttention(nn.Module):
     """Transformer-XL rel-pos MHA, WeNet no-shift convention.

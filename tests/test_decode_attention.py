@@ -58,6 +58,19 @@ def test_attention_beam_matches_oracle(rng):
         assert int(lens[i]) == len(want[i])
 
 
+def test_cached_beam_matches_uncached(rng):
+    """The KV-cached search must produce identical hypotheses and scores
+    to the full-prefix recompute search."""
+    model, params, enc, enc_lens = _setup(rng)
+    h1, l1, s1 = recognize(model, params, enc, enc_lens, beam_size=4,
+                           max_steps=8, use_cache=False)
+    h2, l2, s2 = recognize(model, params, enc, enc_lens, beam_size=4,
+                           max_steps=8, use_cache=True)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4)
+
+
 def test_attention_beam_finished_scores_frozen(rng):
     model, params, enc, enc_lens = _setup(rng, b=1, t=16)
     h1, l1, s1 = recognize(model, params, enc, enc_lens, beam_size=3,
