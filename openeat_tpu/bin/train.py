@@ -64,11 +64,20 @@ def get_parser() -> argparse.ArgumentParser:
                                                           "kaldi"])
     p.add_argument("--profile_dir", default=None,
                    help="capture a jax.profiler trace of early steps here")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize the jax.distributed runtime (multi-host "
+                        "pods over DCN; reads JAX_COORDINATOR_ADDRESS / "
+                        "JAX_PROCESS_ID / JAX_NUM_PROCESSES)")
     return p
 
 
 def main(argv=None):
     args = get_parser().parse_args(argv)
+    if args.multihost:
+        # single-controller-per-host SPMD over DCN; the mesh below then
+        # spans every chip in the pod (reference train_ddp.py:127-130's
+        # env:// NCCL rendezvous analog)
+        jax.distributed.initialize()
     os.makedirs(args.exp_dir, exist_ok=True)
     logger = init_logger(log_file=os.path.join(args.exp_dir, "train.log"))
 
