@@ -20,7 +20,7 @@ _MODEL_DEFAULTS: dict[str, Any] = {
     "attention_heads": 4,
     "linear_units": 1024,
     "dropout_rate": 0.1,
-    "positional_dropout_rate": 0.1,
+    "positional_dropout_rate": 0.0,  # reference PEs have no dropout
     "attention_dropout_rate": 0.0,
     "length_normalized_loss": False,
     "input_layer": "conv2d",

@@ -42,7 +42,10 @@ class ASRModel(nn.Module):
     attention_heads: int = 4
     linear_units: int = 1024
     dropout_rate: float = 0.1
-    positional_dropout_rate: float | None = None  # None -> dropout_rate
+    # the reference applies NO dropout inside its positional encodings
+    # (embedding.py:44-88 has no dropout member); 0.0 matches that, the
+    # knob exists for experiments
+    positional_dropout_rate: float | None = 0.0
     activation_type: str = "swish"
     macaron_style: bool = True
     use_cnn_module: bool = True
@@ -238,6 +241,7 @@ def build_asr_model(model_conf: dict, input_size: int, vocab_size: int,
         attention_heads=mc.get("attention_heads", 4),
         linear_units=mc.get("linear_units", 1024),
         dropout_rate=mc.get("dropout_rate", 0.1),
+        positional_dropout_rate=mc.get("positional_dropout_rate", 0.0),
         activation_type=mc.get("activation", mc.get("activation_type",
                                                     "swish")),
         macaron_style=mc.get("macaron_style", True),

@@ -35,7 +35,7 @@ class LanguageModel(nn.Module):
     num_blocks: int = 6
     num_blocks_share: int = 1
     dropout_rate: float = 0.1
-    positional_dropout_rate: float | None = None
+    positional_dropout_rate: float | None = 0.0  # reference PE: no dropout
     activation_type: str = "relu"
     autoregressive: bool = True
     lsm_weight: float = 0.1
