@@ -172,12 +172,7 @@ def main(argv=None):
 def _ngram_rescore(model, params, enc, enc_lens, nbest, nbest_lens,
                    nbest_scores, ngram, id2tok, args):
     """attention + ctc + host n-gram combined rescoring."""
-    from openeat_tpu.decode.rescoring import attention_rescoring as rescore
     b, k, l = nbest.shape
-    # attention+ctc part with lm off, but we need per-hyp scores: redo the
-    # scoring math per hypothesis by calling rescore per candidate subset
-    # would be wasteful — instead compute combined scores directly here.
-    import jax.numpy as jnp
     from openeat_tpu.decode.rescoring import _gather_token_scores
     from openeat_tpu.utils.common import add_sos_eos, reverse_pad_list
     flat = nbest.reshape(b * k, l)

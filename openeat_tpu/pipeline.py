@@ -28,7 +28,7 @@ class DeviceFeeder:
 
     def __init__(self, loader: Iterable, frontend: FrontendConfig,
                  mesh=None, train: bool = True, seed: int = 0,
-                 pad_batch_multiple: int = 1, drop_dummies_key: bool = True):
+                 pad_batch_multiple: int = 1):
         self.loader = loader
         self.frontend = frontend
         self.mesh = mesh

@@ -49,9 +49,7 @@ def _map_layernorm(name: str, kind: str, w: np.ndarray):
     return f"{name}/{'scale' if kind == 'weight' else 'bias'}", w
 
 
-def convert_wenet_state_dict(state: dict[str, Any], d_model: int,
-                             subsample_conv_channels: int | None = None
-                             ) -> dict:
+def convert_wenet_state_dict(state: dict[str, Any], d_model: int) -> dict:
     """torch state_dict (tensor or ndarray values) -> {'params': {...}}."""
     out: dict = {}
     for key, val in state.items():
