@@ -68,6 +68,11 @@ def get_parser() -> argparse.ArgumentParser:
                    help="initialize the jax.distributed runtime (multi-host "
                         "pods over DCN; reads JAX_COORDINATOR_ADDRESS / "
                         "JAX_PROCESS_ID / JAX_NUM_PROCESSES)")
+    p.add_argument("--save_optimizer", type=lambda s: s.lower() != "false",
+                   default=True,
+                   help="also checkpoint the optimizer state (one rolling "
+                        "'optimizer' dir) so --checkpoint resume is exact; "
+                        "the reference re-initializes Adam on resume")
     return p
 
 
@@ -185,6 +190,17 @@ def main(argv=None):
             start_epoch = int(info["epoch"])
             step0 = int(info.get("step", 0))
             state = state._replace(step=jax.numpy.asarray(step0))
+            # exact resume: restore optimizer moments if the rolling
+            # optimizer checkpoint matches the resumed epoch
+            opt_path = os.path.join(os.path.dirname(
+                os.path.abspath(args.checkpoint)), "optimizer")
+            if os.path.isdir(opt_path):
+                opt_state, opt_info = ckpt_lib.load_checkpoint(
+                    opt_path, state.opt_state)
+                if int(opt_info.get("epoch", -1)) == start_epoch:
+                    state = state._replace(opt_state=opt_state)
+                    logger.info("restored optimizer state (epoch %d)",
+                                start_epoch)
 
     # shard the state
     pshard = mesh_lib.param_shardings(state.params, mesh)
@@ -240,6 +256,11 @@ def main(argv=None):
         logger.info("epoch %d done: %s", epoch, info)
         ckpt_lib.save_checkpoint(args.exp_dir, f"epoch_{epoch + 1}",
                                  jax.device_get(state.params), info)
+        if args.save_optimizer:
+            ckpt_lib.save_checkpoint(args.exp_dir, "optimizer",
+                                     jax.device_get(state.opt_state),
+                                     {"epoch": epoch + 1,
+                                      "step": int(state.step)})
     logger.info("training finished")
     return state
 

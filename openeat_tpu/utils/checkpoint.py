@@ -88,13 +88,17 @@ def load_trained_modules(target_params: Any, source_params: Any,
     """
     src = _flatten(source_params)
     copied = []
+    # accept reference-style dotted prefixes ('encoder.', train.py:77-81)
+    # against our slash-separated tree paths
+    mods = [m.replace(".", "/").rstrip("/") for m in init_mods if m]
 
     def one(path, leaf):
         key = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
                        for k in path)
         rel = key[len("params/"):] if key.startswith("params/") else key
         if key in src and src[key].shape == leaf.shape and any(
-                rel.startswith(m) or key.startswith(m) for m in init_mods):
+                rel == m or rel.startswith(m + "/") or key.startswith(m)
+                for m in mods):
             copied.append(key)
             return jax.numpy.asarray(src[key], leaf.dtype)
         return leaf

@@ -184,9 +184,12 @@ def test_partial_init(rng):
                         batch["targets_length"])
     src = jax.tree.map(lambda x: x * 0 + 7.0 if jnp.issubdtype(
         x.dtype, jnp.floating) else x, params)
-    new, copied = ckpt_lib.load_trained_modules(params, src,
-                                                ["encoder."[:-1]])
-    assert copied and all("encoder" in c for c in copied)
+    # reference-style dotted prefixes (train.py default init_mods)
+    new, copied = ckpt_lib.load_trained_modules(
+        params, src, ["encoder.", "ctc.", "decoder."])
+    assert copied and any("encoder" in c for c in copied)
+    assert any("ctc" in c for c in copied)
+    assert any("decoder" in c for c in copied)
     flat = jax.tree_util.tree_flatten_with_path(new)[0]
     for path, leaf in flat:
         p = "/".join(str(getattr(k, "key", k)) for k in path)
