@@ -65,6 +65,7 @@ class ASRModel(nn.Module):
     ctc_impl: str = "optax"  # 'optax' | 'native' (Pallas kernel)
     static_chunk_size: int = 0   # >0: streaming-style chunked attention
     num_left_chunks: int = -1
+    sequence_sharding: bool = False  # SP: time axis over the 'model' axis
     compute_dtype: jnp.dtype = jnp.bfloat16
 
     @property
@@ -101,6 +102,7 @@ class ASRModel(nn.Module):
             use_global_cmvn=self.use_global_cmvn,
             static_chunk_size=self.static_chunk_size,
             num_left_chunks=self.num_left_chunks,
+            sequence_sharding=self.sequence_sharding,
             remat=self.remat,
             dtype=self.compute_dtype,
         )
@@ -262,5 +264,6 @@ def build_asr_model(model_conf: dict, input_size: int, vocab_size: int,
         ctc_impl=mc.get("ctc_impl", "optax"),
         static_chunk_size=mc.get("static_chunk_size", 0),
         num_left_chunks=mc.get("num_left_chunks", -1),
+        sequence_sharding=mc.get("sequence_sharding", False),
         compute_dtype=dtype,
     )

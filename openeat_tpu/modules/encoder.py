@@ -53,6 +53,7 @@ class Encoder(nn.Module):
     scalar: float = 0.1
     num_blocks: int = 6
     num_blocks_share: int = 1
+    sequence_sharding: bool = False  # shard time over the 'model' axis
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -82,10 +83,31 @@ class Encoder(nn.Module):
             )
             for i in range(self.num_blocks // self.num_blocks_share)
         ]
+        def seq_shard(x):
+            # sequence parallelism (SP): keep block activations sharded
+            # [data, model, -] on the time axis; GSPMD all-gathers K/V
+            # inside attention and re-shards after. Requires an ambient
+            # mesh (jax.sharding.set_mesh). Not in the reference
+            # (SURVEY.md §2.7) — scale-up axis for long utterances.
+            if not self.sequence_sharding:
+                return x
+            try:
+                amesh = jax.sharding.get_abstract_mesh()
+                model_size = dict(amesh.shape).get("model", 1)
+            except Exception:
+                model_size = 1
+            if model_size <= 1 or x.shape[1] % model_size != 0:
+                return x  # unsharded time dim (bucket T to a multiple)
+            from jax.sharding import PartitionSpec as P
+            return jax.lax.with_sharding_constraint(
+                x, P("data", "model", None))
+
+        xs = seq_shard(xs)
         for layer in layers:
             for _ in range(self.num_blocks_share):
                 xs = layer(xs, mask, pos_emb, mask_pad,
                            deterministic=deterministic)
+                xs = seq_shard(xs)
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                             name="after_norm")(xs)
 
@@ -114,6 +136,7 @@ class TransformerEncoder(nn.Module):
     use_global_cmvn: bool = False
     static_chunk_size: int = 0     # >0: chunked (streaming-style) attention
     num_left_chunks: int = -1      # -1: unlimited left context
+    sequence_sharding: bool = False
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -164,6 +187,7 @@ class TransformerEncoder(nn.Module):
             scalar=self.scalar,
             num_blocks=self.num_blocks,
             num_blocks_share=self.num_blocks_share,
+            sequence_sharding=self.sequence_sharding,
             remat=self.remat,
             dtype=self.dtype,
             name="encoders",
