@@ -104,16 +104,19 @@ def main(argv=None):
 
     # optional LM
     lm_logp_fn = None
+    lm_style = "ar"
     ngram = None
     if args.lm_weight > 0 and args.lm_config and args.lm_checkpoint:
         lm_cfg = load_config(args.lm_config)
         lm = build_language_model(dict(lm_cfg.get("model_conf", {}) or {}),
                                   len(char_dict))
         lm_params, _ = ckpt_lib.load_checkpoint(args.lm_checkpoint)
+        lm_style = "ar" if lm.autoregressive else "mlm"
+        lm_method = (LanguageModel.log_probs if lm.autoregressive
+                     else LanguageModel.mlm_log_probs)
 
         def lm_logp_fn(tokens, lens):
-            return lm.apply(lm_params, tokens, lens,
-                            method=LanguageModel.log_probs)
+            return lm.apply(lm_params, tokens, lens, method=lm_method)
     elif args.lm_weight > 0 and args.ngram_lm:
         from openeat_tpu.lm.ngram import ArpaLM
         ngram = ArpaLM.load(args.ngram_lm)
@@ -126,7 +129,8 @@ def main(argv=None):
         model, params, enc, lens, nb, nl, ns,
         ctc_weight=args.ctc_weight, reverse_weight=args.reverse_weight,
         lm_logp_fn=lm_logp_fn,
-        lm_weight=args.lm_weight if lm_logp_fn else 0.0))
+        lm_weight=args.lm_weight if lm_logp_fn else 0.0,
+        lm_style=lm_style))
 
     n_done = 0
     os.makedirs(os.path.dirname(os.path.abspath(args.result_file)),

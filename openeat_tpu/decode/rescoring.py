@@ -47,14 +47,19 @@ def attention_rescoring(model, params, encoder_out: jax.Array,
                         encoder_lens: jax.Array, hyps: jax.Array,
                         hyp_lens: jax.Array, ctc_scores: jax.Array, *,
                         ctc_weight: float = 0.5, reverse_weight: float = 0.0,
-                        lm_logp_fn=None, lm_weight: float = 0.0
+                        lm_logp_fn=None, lm_weight: float = 0.0,
+                        lm_style: str = "ar"
                         ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Rescore prefix-beam nbest.
 
     encoder_out: [B, T, D]; hyps: [B, K, L] (IGNORE_ID padded);
     hyp_lens: [B, K]; ctc_scores: [B, K].
-    lm_logp_fn(tokens_in [M, L+1], lens [M]) -> [M, L+1, V] log-probs of
-    an autoregressive LM over the sos-prefixed hypotheses (optional).
+
+    LM fusion (optional): lm_style='ar' passes sos-prefixed hypotheses to
+    `lm_logp_fn(tokens [M, L+1], lens)` and sums next-token scores
+    (reference asr_model.py:490-500 autoregressive branch); 'mlm' passes
+    the bare eos-padded hypotheses and sums same-position scores — the
+    reference's masked-LM pseudo-likelihood branch (asr_model.py:494-499).
 
     Returns (best hyps [B, L], best lens [B], best scores [B]).
     """
@@ -84,12 +89,25 @@ def attention_rescoring(model, params, encoder_out: jax.Array,
     score = score + ctc_weight * ctc_scores.reshape(m)
 
     if lm_weight > 0 and lm_logp_fn is not None:
-        lm_logp = lm_logp_fn(ys_in, ys_in_lens)
-        lm_score = _gather_token_scores(lm_logp, flat_hyps, flat_lens,
-                                        model.eos)
-        # reference sums only the token scores for the LM (no eos term,
-        # asr_model.py:508-512); subtract the eos contribution back out
-        lm_score = lm_score - lm_logp[jnp.arange(m), flat_lens, model.eos]
+        if lm_style == "mlm":
+            # masked-LM pseudo-likelihood: inputs are the bare hypotheses
+            # (pads -> eos), score token j at position j
+            mlm_in = jnp.where(flat_hyps == IGNORE_ID, model.eos, flat_hyps)
+            lm_logp = lm_logp_fn(mlm_in, flat_lens)
+            pos = jnp.arange(l)[None, :]
+            valid = pos < flat_lens[:, None]
+            tok = jnp.where(valid, flat_hyps, 0)
+            tok_lp = jnp.take_along_axis(lm_logp[:, :l, :],
+                                         tok[..., None], axis=-1)[..., 0]
+            lm_score = jnp.sum(jnp.where(valid, tok_lp, 0.0), axis=1)
+        else:
+            lm_logp = lm_logp_fn(ys_in, ys_in_lens)
+            lm_score = _gather_token_scores(lm_logp, flat_hyps, flat_lens,
+                                            model.eos)
+            # reference sums only token scores for the LM (no eos term,
+            # asr_model.py:508-512); subtract the eos contribution out
+            lm_score = lm_score - lm_logp[jnp.arange(m), flat_lens,
+                                          model.eos]
         score = score + lm_weight * lm_score
 
     score = score.reshape(b, k)

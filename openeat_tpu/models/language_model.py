@@ -116,6 +116,12 @@ class LanguageModel(nn.Module):
         return jax.nn.log_softmax(
             self.encode(tokens, lengths, causal=True), axis=-1)
 
+    def mlm_log_probs(self, tokens: jax.Array,
+                      lengths: jax.Array) -> jax.Array:
+        """Non-causal (masked-LM) scores for pseudo-likelihood fusion."""
+        return jax.nn.log_softmax(
+            self.encode(tokens, lengths, causal=False), axis=-1)
+
 
 def build_language_model(model_conf: dict, vocab_size: int) -> LanguageModel:
     mc = dict(model_conf)
