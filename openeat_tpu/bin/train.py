@@ -57,8 +57,10 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--only_adapter", action="store_true",
                    help="freeze all non-adapter parameters")
     p.add_argument("--num_workers", type=int, default=4)
-    p.add_argument("--dp", type=int, default=-1, help="data-parallel size")
-    p.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
+    p.add_argument("--dp", type=int, default=None,
+                   help="data-parallel size (default: config/auto)")
+    p.add_argument("--tp", type=int, default=None,
+                   help="tensor-parallel size (default: config)")
     p.add_argument("--max_epoch", type=int, default=None)
     p.add_argument("--data_type", default="wav", choices=["wav", "feat",
                                                           "kaldi"])
@@ -130,11 +132,11 @@ def main(argv=None):
     input_size = (fe_conf.get("mel_bins", 80) if data_type == "wav"
                   else train_ds.input_size)
 
-    # mesh
+    # mesh (CLI overrides config)
     mesh_conf = resolve_mesh_conf(cfg)
-    mesh = mesh_lib.make_mesh(args.dp if args.dp != -1 else
-                              mesh_conf.get("data", -1),
-                              max(args.tp, mesh_conf.get("model", 1)))
+    mesh = mesh_lib.make_mesh(
+        args.dp if args.dp is not None else mesh_conf.get("data", -1),
+        args.tp if args.tp is not None else mesh_conf.get("model", 1))
     logger.info("mesh %s over %d devices", dict(mesh.shape),
                 mesh.devices.size)
 
@@ -217,7 +219,9 @@ def main(argv=None):
     eval_step = jax.jit(build_eval_step(model))
 
     executor = Executor(train_step, eval_step, schedule,
-                        train_cfg.log_interval, logger)
+                        train_cfg.log_interval, logger,
+                        metrics_file=os.path.join(args.exp_dir,
+                                                  "metrics.jsonl"))
     dp = mesh.shape["data"]
     rng = jax.random.PRNGKey(train_cfg.seed)
     if args.profile_dir:

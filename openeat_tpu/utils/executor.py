@@ -26,12 +26,22 @@ import numpy as np
 class Executor:
     def __init__(self, train_step: Callable, eval_step: Callable,
                  schedule: Callable | None = None, log_interval: int = 100,
-                 logger: logging.Logger | None = None):
+                 logger: logging.Logger | None = None,
+                 metrics_file: str | None = None):
         self.train_step = train_step
         self.eval_step = eval_step
         self.schedule = schedule
         self.log_interval = log_interval
         self.logger = logger or logging.getLogger("openeat_tpu")
+        self.metrics_file = metrics_file
+
+    def _emit(self, record: dict) -> None:
+        """Append a metrics record to the JSONL stream (tensorboard-free
+        observability; the reference has none, SURVEY.md §5)."""
+        if self.metrics_file:
+            import json
+            with open(self.metrics_file, "a") as f:
+                f.write(json.dumps(record) + "\n")
 
     def train(self, state, batches: Iterable[dict], rng,
               epoch: int = 0) -> tuple[Any, dict]:
@@ -56,6 +66,14 @@ class Executor:
                     "gnorm %.2f", epoch, i + 1, loss,
                     float(metrics.get("acc", 0.0)), lr,
                     float(metrics.get("grad_norm", 0.0)))
+                self._emit({"kind": "train", "epoch": epoch,
+                            "batch": i + 1, "step": int(state.step),
+                            "loss": loss,
+                            "acc": float(metrics.get("acc", 0.0)),
+                            "lr": lr,
+                            "grad_norm": float(metrics.get("grad_norm",
+                                                           0.0)),
+                            "time": time.time()})
             n_batches += 1
             fl = batch.get("features_length")
             if fl is not None:
@@ -69,7 +87,10 @@ class Executor:
             "batches": n_batches,
             "epoch_time_s": dt,
             "frames_per_s": frames / max(dt, 1e-9),
+            "audio_sec_per_s": frames * 0.01 / max(dt, 1e-9),
         }
+        self._emit({"kind": "epoch", "epoch": epoch, **summary,
+                    "time": time.time()})
         return state, summary
 
     def cv(self, params, batches: Iterable[dict], epoch: int = 0) -> dict:
