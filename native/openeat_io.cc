@@ -85,6 +85,16 @@ WavResult DecodeWav(const char* path, double start_s, double end_s) {
   r.sample_rate = (int32_t)rate;
   r.samples.resize(f1 - f0);
   const uint8_t* p = data.data();
+  // fast path: mono 16-bit PCM (the dominant ASR corpus format) — a
+  // branch-free loop the compiler auto-vectorizes
+  if (audio_format == 1 && bits == 16 && channels == 1) {
+    const int16_t* s16 = reinterpret_cast<const int16_t*>(p) + f0;
+    float* out = r.samples.data();
+    const size_t n = f1 - f0;
+    constexpr float kScale = 1.0f / 32768.0f;
+    for (size_t i = 0; i < n; ++i) out[i] = s16[i] * kScale;
+    return r;
+  }
   for (size_t i = f0; i < f1; ++i) {
     double acc = 0.0;
     for (size_t c = 0; c < channels; ++c) {

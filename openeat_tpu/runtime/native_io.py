@@ -74,7 +74,9 @@ def read_wav_batch(paths: Sequence[str],
         *[-1.0 if s is None else float(s) for s in starts])
     c_ends = (ctypes.c_double * n)(
         *[-1.0 if e is None else float(e) for e in ends])
-    out = np.zeros((n, max_samples), np.float32)
+    # np.empty: rows are only defined up to out_lens[i]; callers slice.
+    # (zeroing a multi-MB buffer per batch dominated the decode time.)
+    out = np.empty((n, max_samples), np.float32)
     out_lens = np.zeros((n,), np.int64)
     out_rates = np.zeros((n,), np.int32)
     lib.oet_read_wav_batch(
