@@ -55,6 +55,9 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--ctc_weight", type=float, default=0.5)
     p.add_argument("--reverse_weight", type=float, default=0.0)
     p.add_argument("--max_hyp_len", type=int, default=64)
+    p.add_argument("--length_penalty", type=float, default=0.0,
+                   help="additive per-token bonus at beam selection "
+                        "(attention mode); counters early-eos bias")
     p.add_argument("--lm_config", default=None)
     p.add_argument("--lm_checkpoint", default=None)
     p.add_argument("--lm_weight", type=float, default=0.0)
@@ -149,7 +152,8 @@ def main(argv=None):
             elif args.mode == "attention":
                 hyps, hyp_lens, _ = attention_decode(
                     model, params, enc, enc_lens, beam_size=args.beam_size,
-                    max_steps=min(int(enc.shape[1]), args.max_hyp_len))
+                    max_steps=min(int(enc.shape[1]), args.max_hyp_len),
+                    length_penalty=args.length_penalty)
             else:  # attention_rescoring
                 nbest, nbest_lens, nbest_scores = ctc_prefix_beam_search(
                     ctc_logp(enc), enc_lens, beam_size=args.beam_size,

@@ -35,9 +35,33 @@ class BeamState(NamedTuple):
     step: jax.Array      # scalar int32
 
 
+def _select_best(final_tokens, final_scores, b, n, eos,
+                 length_penalty: float):
+    """Best-of-beam with optional additive length bonus.
+
+    length_penalty > 0 counters the early-eos bias of unnormalized
+    scores (score + penalty * hyp_len at selection only); 0.0 matches
+    the reference's raw-score argmax (asr_model.py:288-295).
+    """
+    tokens = final_tokens.reshape(b, n, -1)[:, :, 1:]
+    is_eos = tokens == eos
+    lens = jnp.where(jnp.any(is_eos, axis=2), jnp.argmax(is_eos, axis=2),
+                     tokens.shape[2])                      # [B, N]
+    scores = final_scores.reshape(b, n)
+    sel = scores + length_penalty * lens.astype(scores.dtype)
+    best = jnp.argmax(sel, axis=1)
+    bi = jnp.arange(b)
+    best_tokens = tokens[bi, best]
+    best_lens = lens[bi, best].astype(jnp.int32)
+    pos = jnp.arange(tokens.shape[2])[None, :]
+    hyps = jnp.where(pos < best_lens[:, None], best_tokens, IGNORE_ID)
+    return hyps, best_lens, scores[bi, best]
+
+
 def attention_beam_search(decoder_step_fn, encoder_out: jax.Array,
                           encoder_lens: jax.Array, *, beam_size: int,
-                          sos: int, eos: int, max_steps: int
+                          sos: int, eos: int, max_steps: int,
+                          length_penalty: float = 0.0
                           ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Search over `decoder_step_fn(tokens [M, L+1], memory, memory_lens)
     -> log-probs [M, L+1, V]` (full-prefix causal decoder scores).
@@ -84,22 +108,13 @@ def attention_beam_search(decoder_step_fn, encoder_out: jax.Array,
                          i + 1)
 
     final = jax.lax.while_loop(cond, body, init)
-    scores = final.scores.reshape(b, n)
-    best = jnp.argmax(scores, axis=1)
-    best_tokens = final.tokens.reshape(b, n, -1)[jnp.arange(b), best, 1:]
-    best_scores = scores[jnp.arange(b), best]
-    # truncate at eos -> IGNORE_ID padding + lengths
-    is_eos = best_tokens == eos
-    first_eos = jnp.where(jnp.any(is_eos, axis=1),
-                          jnp.argmax(is_eos, axis=1), best_tokens.shape[1])
-    pos = jnp.arange(best_tokens.shape[1])[None, :]
-    hyps = jnp.where(pos < first_eos[:, None], best_tokens, IGNORE_ID)
-    return hyps, first_eos.astype(jnp.int32), best_scores
+    return _select_best(final.tokens, final.scores, b, n, eos,
+                        length_penalty)
 
 
 def attention_beam_search_cached(model, params, encoder_out: jax.Array,
                                  encoder_lens: jax.Array, *, beam_size: int,
-                                 max_steps: int
+                                 max_steps: int, length_penalty: float = 0.0
                                  ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """KV-cached beam search: per-step cost is one single-position
     decoder evaluation (self-attn over cached keys, cross-attn over
@@ -155,16 +170,8 @@ def attention_beam_search_cached(model, params, encoder_out: jax.Array,
                           i + 1), cache)
 
     (final, _) = jax.lax.while_loop(cond, body, init)
-    scores = final.scores.reshape(b, n)
-    best = jnp.argmax(scores, axis=1)
-    best_tokens = final.tokens.reshape(b, n, -1)[jnp.arange(b), best, 1:]
-    best_scores = scores[jnp.arange(b), best]
-    is_eos = best_tokens == eos
-    first_eos = jnp.where(jnp.any(is_eos, axis=1),
-                          jnp.argmax(is_eos, axis=1), best_tokens.shape[1])
-    pos = jnp.arange(best_tokens.shape[1])[None, :]
-    hyps = jnp.where(pos < first_eos[:, None], best_tokens, IGNORE_ID)
-    return hyps, first_eos.astype(jnp.int32), best_scores
+    return _select_best(final.tokens, final.scores, b, n, eos,
+                        length_penalty)
 
 
 def make_decoder_step_fn(model, params):
@@ -178,15 +185,16 @@ def make_decoder_step_fn(model, params):
 
 
 def recognize(model, params, encoder_out, encoder_lens, *, beam_size=10,
-              max_steps: int | None = None, use_cache: bool = True):
+              max_steps: int | None = None, use_cache: bool = True,
+              length_penalty: float = 0.0):
     """Reference `ASRModel.recognize` equivalent (asr_model.py:205-295)."""
     if max_steps is None:
         max_steps = int(encoder_out.shape[1])
     if use_cache:
         return attention_beam_search_cached(
             model, params, encoder_out, encoder_lens, beam_size=beam_size,
-            max_steps=max_steps)
+            max_steps=max_steps, length_penalty=length_penalty)
     return attention_beam_search(
         make_decoder_step_fn(model, params), encoder_out, encoder_lens,
         beam_size=beam_size, sos=model.sos, eos=model.eos,
-        max_steps=max_steps)
+        max_steps=max_steps, length_penalty=length_penalty)
