@@ -1,0 +1,147 @@
+"""Online (streaming) recognition: chunked encoder + incremental CTC.
+
+The reference ships streaming *hooks* (causal convs, conv caches,
+decoder caches — convolution.py:43-50,92-104) but no online runtime;
+this is the full streaming inference path:
+
+- audio arrives in arbitrary pieces (`accept_waveform`), fbank frames
+  are computed incrementally (25 ms window / 10 ms shift — each frame
+  depends only on its own 400 samples, so chunking is exact);
+- the encoder runs chunk-by-chunk via `forward_chunk` with right-aligned
+  attention K/V histories (num_left_chunks * chunk_size positions) and
+  per-layer conv caches — numerically identical to the offline forward
+  of a model trained with `static_chunk_size`/`causal` masks
+  (tests/test_streaming.py);
+- CTC greedy partial hypotheses update after every chunk.
+
+All device work is a single jitted step with static shapes; only the
+ring-buffer bookkeeping lives on the host.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openeat_tpu.models.asr_model import ASRModel
+from openeat_tpu.ops import fbank as fbank_mod
+
+
+class StreamingRecognizer:
+    """Single-stream (B=1) online recognizer."""
+
+    def __init__(self, model: ASRModel, params, *, chunk_size: int = 16,
+                 num_left_chunks: int = 4, sample_rate: int = 16000,
+                 num_mel_bins: int | None = None, blank_id: int = 0):
+        assert model.input_layer == "conv2d", \
+            "streaming runtime currently supports conv2d subsampling"
+        assert model.causal, "streaming needs a causal conv module"
+        self.model = model
+        self.params = params
+        self.chunk = chunk_size
+        self.left = max(0, num_left_chunks) * chunk_size
+        self.rate = sample_rate
+        self.mel = num_mel_bins or model.input_size
+        self.blank_id = blank_id
+        self.frame_len = int(sample_rate * 0.025)
+        self.frame_shift = int(sample_rate * 0.010)
+        # feature window for `chunk` subsampled outputs: 4c+3 frames
+        self.win_frames = 4 * chunk_size + 3
+        n_apps = model.encoder_num_blocks
+        h = model.attention_heads
+        dk = model.d_model // h
+        dt = model.compute_dtype
+        self.k_caches = tuple(jnp.zeros((1, self.left, h, dk), dt)
+                              for _ in range(n_apps))
+        self.v_caches = tuple(jnp.zeros((1, self.left, h, dk), dt)
+                              for _ in range(n_apps))
+        self.cnn_caches = tuple(
+            jnp.zeros((1, model.cnn_module_kernel - 1, model.d_model), dt)
+            for _ in range(n_apps))
+        self.cache_len = 0
+        self.offset = 0          # absolute subsampled-frame position
+        self.samples = np.zeros((0,), np.float32)
+        self.frames = np.zeros((0, self.mel), np.float32)
+        self.n_frames_done = 0   # fbank frames computed so far
+        self.hyp: list[int] = []
+        self.prev_tok = -1
+
+        @functools.partial(jax.jit, static_argnames=())
+        def _step(params, window, offset, k_caches, v_caches, cache_len,
+                  cnn_caches):
+            enc, k, v, c = model.apply(
+                params, window, offset, k_caches, v_caches, cache_len,
+                cnn_caches, method=ASRModel.encode_chunk)
+            logp = model.apply(params, enc, method=ASRModel.ctc_log_probs)
+            return jnp.argmax(logp, axis=-1)[0], enc, k, v, c
+
+        self._step = _step
+        self.enc_chunks: list[np.ndarray] = []  # encoder outputs (tests)
+
+    # ---- audio in ----
+
+    def accept_waveform(self, wav: np.ndarray) -> list[int]:
+        """Feed float32 samples (x32768-scaled like training); returns the
+        tokens newly emitted by the partial CTC hypothesis."""
+        self.samples = np.concatenate([self.samples,
+                                       np.asarray(wav, np.float32)])
+        self._extract_frames()
+        emitted = []
+        while self.frames.shape[0] - self._consumed() >= self.win_frames:
+            emitted += self._run_chunk()
+        return emitted
+
+    def _consumed(self) -> int:
+        # feature frames consumed so far = 4 * offset (stride 4)
+        return 4 * self.offset
+
+    def _extract_frames(self):
+        n_avail = fbank_mod.num_frames(len(self.samples), self.frame_len,
+                                       self.frame_shift)
+        if n_avail <= self.n_frames_done:
+            return
+        # compute only the new frames (each depends on its own window)
+        start = self.n_frames_done
+        s0 = start * self.frame_shift
+        seg = self.samples[s0: (n_avail - 1) * self.frame_shift
+                           + self.frame_len]
+        feats, _ = fbank_mod.fbank(
+            jnp.asarray(seg)[None], jnp.array([len(seg)]),
+            sample_rate=self.rate, num_mel_bins=self.mel)
+        self.frames = np.concatenate(
+            [self.frames, np.asarray(feats[0])], axis=0)
+        self.n_frames_done = n_avail
+
+    def _run_chunk(self) -> list[int]:
+        f0 = self._consumed()
+        window = self.frames[f0: f0 + self.win_frames]
+        win = jnp.asarray(window)[None]
+        toks, enc, k_new, v_new, cnn = self._step(
+            self.params, win, jnp.asarray(self.offset, jnp.int32),
+            self.k_caches, self.v_caches,
+            jnp.asarray(self.cache_len, jnp.int32), self.cnn_caches)
+        self.enc_chunks.append(np.asarray(enc[0]))
+        # roll right-aligned histories
+        if self.left > 0:
+            self.k_caches = tuple(
+                jnp.concatenate([kc, kn], axis=1)[:, -self.left:]
+                for kc, kn in zip(self.k_caches, k_new))
+            self.v_caches = tuple(
+                jnp.concatenate([vc, vn], axis=1)[:, -self.left:]
+                for vc, vn in zip(self.v_caches, v_new))
+            self.cache_len = min(self.cache_len + self.chunk, self.left)
+        self.cnn_caches = cnn
+        self.offset += self.chunk
+        out = []
+        for t in np.asarray(toks).tolist():
+            if t != self.prev_tok and t != self.blank_id:
+                out.append(int(t))
+            self.prev_tok = t
+        self.hyp += out
+        return out
+
+    def result(self) -> list[int]:
+        return list(self.hyp)

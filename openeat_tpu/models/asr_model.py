@@ -190,6 +190,13 @@ class ASRModel(nn.Module):
     def ctc_log_probs(self, encoder_out):
         return self.ctc.log_softmax(encoder_out.astype(self.compute_dtype))
 
+    def encode_chunk(self, feat_window, offset, k_caches, v_caches,
+                     cache_len, cnn_caches):
+        """Streaming encoder step (see TransformerEncoder.forward_chunk)."""
+        out, k, v, c = self.encoder.forward_chunk(
+            feat_window, offset, k_caches, v_caches, cache_len, cnn_caches)
+        return out.astype(jnp.float32), k, v, c
+
     def decoder_init_cache(self, encoder_out, beam_batch: int,
                            max_len: int):
         """KV-cache for incremental left-decoder stepping (decode)."""

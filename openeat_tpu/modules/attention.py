@@ -164,3 +164,35 @@ class RelPositionMultiHeadedAttention(nn.Module):
         ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
                          preferred_element_type=jnp.float32).astype(v.dtype)
         return self.linear_out(ctx.reshape(b, -1, self.d_model))
+
+    def forward_chunk(self, x, k_cache, v_cache, kv_mask, pos_emb):
+        """Streaming chunk attention with K/V history.
+
+        x: [B, Tc, D] current chunk; k_cache/v_cache: [B, Lc, H, Dk]
+        (right-aligned history, invalid slots masked by kv_mask);
+        kv_mask: bool [B, 1, Lc+Tc]; pos_emb: [1, Lc+Tc, D] absolute-
+        position table slice for the kv window (masked slots arbitrary).
+        Returns (out [B, Tc, D], k_new, v_new) — caller rolls the caches.
+        """
+        b = x.shape[0]
+        split = lambda y: y.reshape(b, -1, self.num_heads, self.d_k)
+        q = split(self.linear_q(x))
+        k_new = split(self.linear_k(x))
+        v_new = split(self.linear_v(x))
+        k = jnp.concatenate([k_cache.astype(k_new.dtype), k_new], axis=1)
+        v = jnp.concatenate([v_cache.astype(v_new.dtype), v_new], axis=1)
+        p = split(self.linear_pos(pos_emb.astype(x.dtype)))
+        u = self.pos_bias_u.astype(q.dtype)
+        vb = self.pos_bias_v.astype(q.dtype)
+        ac = jnp.einsum("bqhd,bkhd->bhqk", q + u[None, None], k,
+                        preferred_element_type=jnp.float32)
+        bd = jnp.einsum("bqhd,pkhd->bhqk", q + vb[None, None], p,
+                        preferred_element_type=jnp.float32)
+        scores = (ac + bd) * (self.d_k ** -0.5)
+        m = kv_mask[:, None, :, :]
+        scores = jnp.where(m, scores, NEG_INF)
+        attn = jnp.where(m, jax.nn.softmax(scores, axis=-1), 0.0)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", attn.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32).astype(v.dtype)
+        return (self.linear_out(ctx.reshape(b, -1, self.d_model)),
+                k_new, v_new)

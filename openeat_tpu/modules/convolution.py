@@ -29,15 +29,29 @@ class ConvolutionModule(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, mask_pad: jax.Array | None = None,
-                 *, deterministic: bool = True) -> jax.Array:
-        """x: [B, T, C]; mask_pad: bool [B, 1, T] or [B, T], True = valid."""
+                 cache: jax.Array | None = None, *,
+                 deterministic: bool = True):
+        """x: [B, T, C]; mask_pad: bool [B, 1, T] or [B, T], True = valid.
+
+        Streaming: pass `cache` [B, kernel-1, C] (the previous chunk's
+        tail, reference convolution.py:92-104) with causal=True; the
+        cache is prepended instead of zero left-padding and the call
+        returns (y, new_cache).
+        """
         if mask_pad is not None:
             valid = mask_pad.reshape(x.shape[0], -1)[..., None]  # [B,T,1]
             x = jnp.where(valid, x, 0.0)
         x = nn.Dense(2 * self.channels, dtype=self.dtype,
                      name="pointwise_conv1")(x)
         x = nn.glu(x, axis=-1)
-        if self.causal:
+        new_cache = None
+        if cache is not None:
+            assert self.causal, "streaming conv cache requires causal=True"
+            lorder = self.kernel_size - 1
+            x = jnp.concatenate([cache.astype(x.dtype), x], axis=1)
+            new_cache = x[:, -lorder:, :]
+            pad = (0, 0)
+        elif self.causal:
             pad = (self.kernel_size - 1, 0)
         else:
             assert (self.kernel_size - 1) % 2 == 0, \
@@ -53,4 +67,6 @@ class ConvolutionModule(nn.Module):
                      name="pointwise_conv2")(x)
         if mask_pad is not None:
             x = jnp.where(valid, x, 0.0)
+        if new_cache is not None:
+            return x, new_cache
         return x

@@ -15,9 +15,11 @@ import jax.numpy as jnp
 
 
 def sinusoid_table(length: int, d_model: int, dtype=jnp.float32,
-                   offset: int = 0) -> jax.Array:
-    """[length, d_model] sinusoidal table; position k row = pe(offset+k)."""
-    pos = jax.lax.broadcasted_iota(jnp.float32, (length, 1), 0) + float(offset)
+                   offset=0) -> jax.Array:
+    """[length, d_model] sinusoidal table; position k row = pe(offset+k).
+    `offset` may be a traced scalar (streaming chunks)."""
+    pos = (jax.lax.broadcasted_iota(jnp.float32, (length, 1), 0)
+           + jnp.asarray(offset, jnp.float32))
     i = jax.lax.broadcasted_iota(jnp.float32, (1, d_model // 2), 1)
     div = jnp.exp(-i * (2.0 / d_model) * jnp.log(10000.0))
     ang = pos * div  # [length, d/2]

@@ -9,9 +9,11 @@ num_blocks_share` physical layers, each applied `num_blocks_share`
 times (encoder.py:202,225-227) — in flax, re-calling the same submodule
 shares parameters.
 
-TPU notes: optional per-layer rematerialization (`jax.checkpoint` via
-nn.remat) trades FLOPs for HBM on long utterances; compute dtype is
-configurable (bf16 on the MXU by default from the model config).
+TPU notes: optional per-layer rematerialization trades FLOPs for HBM;
+compute dtype is configurable (bf16 on the MXU by default); optional
+sequence parallelism shards block activations' time axis over the
+'model' mesh axis; `forward_chunk` is the streaming inference step
+(attention K/V history + conv caches, the reference's decode caches).
 """
 
 from __future__ import annotations
@@ -25,7 +27,8 @@ import jax.numpy as jnp
 from openeat_tpu.modules.cmvn import GlobalCMVN
 from openeat_tpu.modules.embedding import (NoPositionalEncoding,
                                            PositionalEncoding,
-                                           RelPositionalEncoding)
+                                           RelPositionalEncoding,
+                                           sinusoid_table)
 from openeat_tpu.modules.encoder_layer import EncoderLayer
 from openeat_tpu.modules.subsampling import SUBSAMPLE_CLASSES
 
@@ -57,14 +60,11 @@ class Encoder(nn.Module):
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, xs: jax.Array, mask: jax.Array, pos_emb: jax.Array,
-                 mask_pad: jax.Array | None = None, *,
-                 deterministic: bool = True) -> jax.Array:
+    def setup(self):
         layer_cls = EncoderLayer
         if self.remat:
             layer_cls = nn.remat(EncoderLayer, static_argnums=())
-        layers = [
+        self.layers = [
             layer_cls(
                 d_model=self.d_model,
                 attention_heads=self.attention_heads,
@@ -83,6 +83,16 @@ class Encoder(nn.Module):
             )
             for i in range(self.num_blocks // self.num_blocks_share)
         ]
+        self.after_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                       name="after_norm")
+
+    def _applications(self):
+        return [layer for layer in self.layers
+                for _ in range(self.num_blocks_share)]
+
+    def __call__(self, xs: jax.Array, mask: jax.Array, pos_emb: jax.Array,
+                 mask_pad: jax.Array | None = None, *,
+                 deterministic: bool = True) -> jax.Array:
         def seq_shard(x):
             # sequence parallelism (SP): keep block activations sharded
             # [data, model, -] on the time axis; GSPMD all-gathers K/V
@@ -103,13 +113,28 @@ class Encoder(nn.Module):
                 x, P("data", "model", None))
 
         xs = seq_shard(xs)
-        for layer in layers:
-            for _ in range(self.num_blocks_share):
-                xs = layer(xs, mask, pos_emb, mask_pad,
-                           deterministic=deterministic)
-                xs = seq_shard(xs)
-        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
-                            name="after_norm")(xs)
+        for layer in self._applications():
+            xs = layer(xs, mask, pos_emb, mask_pad,
+                       deterministic=deterministic)
+            xs = seq_shard(xs)
+        return self.after_norm(xs)
+
+    def forward_chunk(self, xs: jax.Array, k_caches, v_caches,
+                      kv_mask: jax.Array, cnn_caches, pos_emb: jax.Array):
+        """Streaming step across the stack. Caches are per-application
+        tuples; returns (out, new_k_tuple, new_v_tuple, new_cnn_tuple)
+        where k/v entries are the CHUNK's new keys/values (the caller
+        rolls them into the right-aligned history)."""
+        new_k, new_v, new_cnn = [], [], []
+        for idx, layer in enumerate(self._applications()):
+            xs, k, v, c = layer.forward_chunk(
+                xs, k_caches[idx], v_caches[idx], kv_mask,
+                cnn_caches[idx], pos_emb)
+            new_k.append(k)
+            new_v.append(v)
+            new_cnn.append(c)
+        return (self.after_norm(xs), tuple(new_k), tuple(new_v),
+                tuple(new_cnn))
 
 
 class TransformerEncoder(nn.Module):
@@ -145,34 +170,18 @@ class TransformerEncoder(nn.Module):
         return {"linear": 1, "conv2d": 4, "conv2d6": 6, "conv2d8": 8}[
             self.input_layer]
 
-    @nn.compact
-    def __call__(self, xs: jax.Array, xs_lens: jax.Array,
-                 *, deterministic: bool = True
-                 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-        """xs: [B, T, F] features; xs_lens: [B].
-
-        Returns (encoder_out [B, T', D], out_lens [B], pos_emb [1, T', D]).
-        """
+    def setup(self):
         if self.use_global_cmvn:
-            xs = GlobalCMVN(self.input_size, name="global_cmvn")(xs)
-        xs = xs.astype(self.dtype)
+            self.global_cmvn = GlobalCMVN(self.input_size,
+                                          name="global_cmvn")
         pos_enc = POS_ENC_CLASSES[self.pos_enc_layer_type](
             self.d_model, self.positional_dropout_rate, name="pos_enc")
         sub_kwargs = {}
         if self.input_layer == "linear":
             sub_kwargs["dropout_rate"] = self.dropout_rate
-        embed = SUBSAMPLE_CLASSES[self.input_layer](
+        self.embed = SUBSAMPLE_CLASSES[self.input_layer](
             self.d_model, pos_enc, name="embed", **sub_kwargs)
-        xs, pos_emb, out_lens = embed(xs, xs_lens,
-                                      deterministic=deterministic)
-        from openeat_tpu.utils.mask import chunk_mask, make_non_pad_mask
-        mask_pad = make_non_pad_mask(out_lens, xs.shape[1])[:, None, :]
-        mask = mask_pad  # [B, 1, T]
-        if self.static_chunk_size > 0:
-            cm = chunk_mask(xs.shape[1], self.static_chunk_size,
-                            self.num_left_chunks)
-            mask = mask & cm[None, :, :]  # [B, T, T]
-        xs = Encoder(
+        self.encoders = Encoder(
             d_model=self.d_model,
             dropout_rate=self.dropout_rate,
             attention_heads=self.attention_heads,
@@ -191,5 +200,63 @@ class TransformerEncoder(nn.Module):
             remat=self.remat,
             dtype=self.dtype,
             name="encoders",
-        )(xs, mask, pos_emb, mask_pad, deterministic=deterministic)
+        )
+
+    def __call__(self, xs: jax.Array, xs_lens: jax.Array,
+                 *, deterministic: bool = True
+                 ) -> tuple[jax.Array, jax.Array, jax.Array]:
+        """xs: [B, T, F] features; xs_lens: [B].
+
+        Returns (encoder_out [B, T', D], out_lens [B], pos_emb [1, T', D]).
+        """
+        if self.use_global_cmvn:
+            xs = self.global_cmvn(xs)
+        xs = xs.astype(self.dtype)
+        xs, pos_emb, out_lens = self.embed(xs, xs_lens,
+                                           deterministic=deterministic)
+        from openeat_tpu.utils.mask import chunk_mask, make_non_pad_mask
+        mask_pad = make_non_pad_mask(out_lens, xs.shape[1])[:, None, :]
+        mask = mask_pad  # [B, 1, T]
+        if self.static_chunk_size > 0:
+            cm = chunk_mask(xs.shape[1], self.static_chunk_size,
+                            self.num_left_chunks)
+            mask = mask & cm[None, :, :]  # [B, T, T]
+        xs = self.encoders(xs, mask, pos_emb, mask_pad,
+                           deterministic=deterministic)
         return xs, out_lens, pos_emb
+
+    def forward_chunk(self, feat_window: jax.Array, offset: jax.Array,
+                      k_caches, v_caches, cache_len: jax.Array,
+                      cnn_caches):
+        """Streaming step on a RAW FEATURE window.
+
+        feat_window: [B, W, F] where W = chunk_frames*rate + right
+        context (rate/context from the subsampling layer: x4 needs
+        W = 4*c + 7 for c output frames); offset: scalar absolute output
+        position of this chunk's first frame; k/v_caches:
+        per-application [B, Lc, H, Dk] right-aligned histories with
+        `cache_len` valid trailing slots; cnn_caches: [B, kernel-1, D].
+
+        Returns (chunk_out [B, c, D], new_k, new_v, new_cnn) where new
+        k/v are the chunk's keys/values to roll into the history.
+        """
+        if self.use_global_cmvn:
+            feat_window = self.global_cmvn(feat_window)
+        feat_window = feat_window.astype(self.dtype)
+        b, w, _ = feat_window.shape
+        lens = jnp.full((b,), w, jnp.int32)
+        xs, _, _ = self.embed(feat_window, lens, offset=offset,
+                              deterministic=True)
+        t_chunk = xs.shape[1]
+        l_cache = k_caches[0].shape[1]
+        # kv validity: trailing cache_len cache slots + the whole chunk
+        slot = jnp.arange(l_cache + t_chunk)[None, None, :]
+        kv_mask = (slot >= l_cache - cache_len) | (slot >= l_cache)
+        kv_mask = jnp.broadcast_to(kv_mask, (b, 1, l_cache + t_chunk))
+        # absolute-position table for the kv window: slot i has absolute
+        # position offset - (l_cache - i), matching the full forward's
+        # pe-by-key-absolute-position convention (no rel_shift)
+        pos_emb = sinusoid_table(l_cache + t_chunk, self.d_model,
+                                 xs.dtype, offset=offset - l_cache)[None]
+        return self.encoders.forward_chunk(xs, k_caches, v_caches,
+                                           kv_mask, cnn_caches, pos_emb)

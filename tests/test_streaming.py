@@ -48,6 +48,57 @@ def test_chunked_encoder_causality(rng):
                            np.asarray(enc_pert[:, 12:]))
 
 
+def test_streaming_matches_offline(rng):
+    """Chunk-by-chunk streaming encoder == offline forward of the same
+    chunked-mask model, and the streaming CTC partial equals offline
+    greedy on the covered prefix."""
+    from openeat_tpu.decode.streaming import StreamingRecognizer
+    from openeat_tpu.decode.ctc_greedy import ctc_greedy_search
+    from openeat_tpu.ops.fbank import fbank
+
+    chunk, left = 4, 2
+    model = ASRModel(
+        input_size=F, vocab_size=VOCAB, encoder_num_blocks=2,
+        decoder_num_blocks=1, r_decoder_num_blocks=0, reverse_weight=0.0,
+        d_model=32, attention_heads=2, linear_units=64,
+        input_layer="conv2d", causal=True, cnn_module_kernel=5,
+        static_chunk_size=chunk, num_left_chunks=left,
+        dropout_rate=0.0, compute_dtype=jnp.float32)
+    # fbank needs mel bins == input F
+    n_samp = 16000
+    wav = (rng.standard_normal(n_samp) * 3000).astype(np.float32)
+    feats, flens = fbank(jnp.asarray(wav)[None], jnp.array([n_samp]),
+                         num_mel_bins=F)
+    tgt = jnp.asarray(rng.integers(1, VOCAB - 1, (1, 4)), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), feats, flens, tgt,
+                        jnp.array([4]))
+    enc_full, enc_lens = model.apply(params, feats, flens,
+                                     method=ASRModel.encode)
+
+    sr = StreamingRecognizer(model, params, chunk_size=chunk,
+                             num_left_chunks=left, num_mel_bins=F)
+    # feed audio in awkward pieces
+    outs = []
+    pieces = np.split(wav, [1500, 5000, 5100, 9000, 12000])
+    chunks_out = []
+    for p in pieces:
+        sr.accept_waveform(p)
+    n_chunks = sr.offset // chunk
+    assert n_chunks >= 4
+    # offline greedy on the streamed prefix must match streaming partial
+    t_cov = n_chunks * chunk
+    lp_full = model.apply(params, enc_full[:, :t_cov],
+                          method=ASRModel.ctc_log_probs)
+    hyps, hyp_lens = ctc_greedy_search(lp_full, jnp.array([t_cov]))
+    offline = [int(x) for x in hyps[0][: int(hyp_lens[0])]]
+    assert sr.result() == offline
+    # the streamed encoder outputs must match the offline encoder
+    streamed = np.concatenate(sr.enc_chunks, axis=0)
+    np.testing.assert_allclose(streamed,
+                               np.asarray(enc_full[0][:t_cov]),
+                               rtol=1e-3, atol=2e-4)
+
+
 def test_chunked_training_runs(rng):
     model = ASRModel(
         input_size=F, vocab_size=VOCAB, encoder_num_blocks=2,
