@@ -1,0 +1,79 @@
+"""Simulated-streaming decode CLI.
+
+Feeds each test utterance to the online recognizer
+(openeat_tpu.decode.streaming) in real-time-sized audio pieces and
+writes `<utt> <text>` results plus per-utterance latency stats — the
+online counterpart of bin/recognize for models trained with
+`static_chunk_size`/`causal` (no offline reference equivalent exists;
+the reference only ships streaming hooks).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+from openeat_tpu.bin.recognize import load_model
+from openeat_tpu.dataset.audio import read_wav, resample
+from openeat_tpu.dataset.manifest import parse_manifest, parse_wav_entry
+from openeat_tpu.dataset.text import load_dict, token_ids_to_text
+from openeat_tpu.decode.streaming import StreamingRecognizer
+from openeat_tpu.utils.common import init_logger
+
+
+def get_parser():
+    p = argparse.ArgumentParser(description="streaming decode (TPU)")
+    p.add_argument("--config", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--test_data", required=True)
+    p.add_argument("--dict", dest="dict_path", required=True)
+    p.add_argument("--result_file", required=True)
+    p.add_argument("--chunk_size", type=int, default=16,
+                   help="encoder chunk in subsampled frames (16 = 640 ms)")
+    p.add_argument("--num_left_chunks", type=int, default=4)
+    p.add_argument("--piece_ms", type=int, default=200,
+                   help="audio arrives in pieces of this duration")
+    p.add_argument("--sample_rate", type=int, default=16000)
+    return p
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+    logger = init_logger()
+    model, params, cfg = load_model(args.config, args.checkpoint)
+    char_dict = load_dict(args.dict_path)
+    id2tok = {v: k for k, v in char_dict.items()}
+    utts = parse_manifest(args.test_data, char_dict,
+                          max_length=10 ** 9, sort=False)
+    piece = int(args.sample_rate * args.piece_ms / 1000)
+    lat = []
+    with open(args.result_file, "w", encoding="utf-8") as fout:
+        for u in utts:
+            path, start, end = parse_wav_entry(u.path)
+            wav, rate = read_wav(path, start, end)
+            if rate != args.sample_rate:
+                wav = resample(wav, rate, args.sample_rate)
+            wav = wav * 32768.0
+            sr = StreamingRecognizer(
+                model, params, chunk_size=args.chunk_size,
+                num_left_chunks=args.num_left_chunks,
+                sample_rate=args.sample_rate)
+            t_max = 0.0
+            for i in range(0, len(wav), piece):
+                t0 = time.perf_counter()
+                sr.accept_waveform(wav[i: i + piece])
+                t_max = max(t_max, time.perf_counter() - t0)
+            text = token_ids_to_text(sr.result(), id2tok)
+            fout.write(f"{u.key} {text}\n")
+            lat.append(t_max)
+            logger.info("%s: '%s' (max piece latency %.1f ms)", u.key,
+                        text, t_max * 1000)
+    logger.info("done: %d utts, p50 piece latency %.1f ms, p99 %.1f ms",
+                len(lat), np.percentile(lat, 50) * 1000,
+                np.percentile(lat, 99) * 1000)
+
+
+if __name__ == "__main__":
+    main()
