@@ -29,13 +29,45 @@ import numpy as np
 from openeat_tpu.models.asr_model import ASRModel
 from openeat_tpu.ops import fbank as fbank_mod
 
+_STEP_CACHE: dict = {}
+
+
+def _get_step_fn(model: ASRModel):
+    """One jitted chunk step per model (flax modules are hashable);
+    sharing it across StreamingRecognizer instances keeps XLA's compile
+    cache warm stream-to-stream."""
+    fn = _STEP_CACHE.get(model)
+    if fn is None:
+        @jax.jit
+        def fn(params, window, offset, k_caches, v_caches, cache_len,
+               cnn_caches):
+            enc, k_new, v_new, c = model.apply(
+                params, window, offset, k_caches, v_caches, cache_len,
+                cnn_caches, method=ASRModel.encode_chunk)
+            logp = model.apply(params, enc, method=ASRModel.ctc_log_probs)
+            left = k_caches[0].shape[1]
+            if left > 0:  # roll right-aligned histories inside the jit
+                k_out = tuple(
+                    jnp.concatenate([kc, kn], axis=1)[:, -left:]
+                    for kc, kn in zip(k_caches, k_new))
+                v_out = tuple(
+                    jnp.concatenate([vc, vn], axis=1)[:, -left:]
+                    for vc, vn in zip(v_caches, v_new))
+            else:
+                k_out, v_out = k_caches, v_caches
+            return jnp.argmax(logp, axis=-1)[0], enc, k_out, v_out, c
+
+        _STEP_CACHE[model] = fn
+    return fn
+
 
 class StreamingRecognizer:
     """Single-stream (B=1) online recognizer."""
 
     def __init__(self, model: ASRModel, params, *, chunk_size: int = 16,
                  num_left_chunks: int = 4, sample_rate: int = 16000,
-                 num_mel_bins: int | None = None, blank_id: int = 0):
+                 num_mel_bins: int | None = None, blank_id: int = 0,
+                 collect_encoder_out: bool = False):
         assert model.input_layer == "conv2d", \
             "streaming runtime currently supports conv2d subsampling"
         assert model.causal, "streaming needs a causal conv module"
@@ -69,17 +101,25 @@ class StreamingRecognizer:
         self.hyp: list[int] = []
         self.prev_tok = -1
 
-        @functools.partial(jax.jit, static_argnames=())
-        def _step(params, window, offset, k_caches, v_caches, cache_len,
-                  cnn_caches):
-            enc, k, v, c = model.apply(
-                params, window, offset, k_caches, v_caches, cache_len,
-                cnn_caches, method=ASRModel.encode_chunk)
-            logp = model.apply(params, enc, method=ASRModel.ctc_log_probs)
-            return jnp.argmax(logp, axis=-1)[0], enc, k, v, c
+        self._step = _get_step_fn(model)
+        # optional encoder-output capture (tests); forces a device sync
+        # per chunk, so it's off in production
+        self.collect_encoder_out = collect_encoder_out
+        self.enc_chunks: list[np.ndarray] = []
+        # incremental fbank: fixed groups of frames -> one compiled shape
+        self.frame_group = 16
+        group_samples = ((self.frame_group - 1) * self.frame_shift
+                         + self.frame_len)
 
-        self._step = _step
-        self.enc_chunks: list[np.ndarray] = []  # encoder outputs (tests)
+        @jax.jit
+        def _fbank_group(seg):
+            feats, _ = fbank_mod.fbank(
+                seg[None], jnp.array([group_samples]),
+                sample_rate=self.rate, num_mel_bins=self.mel)
+            return feats[0]
+
+        self._fbank_group = _fbank_group
+        self._group_samples = group_samples
 
     # ---- audio in ----
 
@@ -99,39 +139,31 @@ class StreamingRecognizer:
         return 4 * self.offset
 
     def _extract_frames(self):
+        """Compute new fbank frames in fixed-size groups (each frame
+        depends only on its own 400-sample window, so grouping is exact
+        and every group compiles to the same XLA program)."""
         n_avail = fbank_mod.num_frames(len(self.samples), self.frame_len,
                                        self.frame_shift)
-        if n_avail <= self.n_frames_done:
-            return
-        # compute only the new frames (each depends on its own window)
-        start = self.n_frames_done
-        s0 = start * self.frame_shift
-        seg = self.samples[s0: (n_avail - 1) * self.frame_shift
-                           + self.frame_len]
-        feats, _ = fbank_mod.fbank(
-            jnp.asarray(seg)[None], jnp.array([len(seg)]),
-            sample_rate=self.rate, num_mel_bins=self.mel)
-        self.frames = np.concatenate(
-            [self.frames, np.asarray(feats[0])], axis=0)
-        self.n_frames_done = n_avail
+        while n_avail - self.n_frames_done >= self.frame_group:
+            s0 = self.n_frames_done * self.frame_shift
+            seg = self.samples[s0: s0 + self._group_samples]
+            feats = self._fbank_group(jnp.asarray(seg))
+            self.frames = np.concatenate(
+                [self.frames, np.asarray(feats)], axis=0)
+            self.n_frames_done += self.frame_group
 
     def _run_chunk(self) -> list[int]:
         f0 = self._consumed()
         window = self.frames[f0: f0 + self.win_frames]
         win = jnp.asarray(window)[None]
-        toks, enc, k_new, v_new, cnn = self._step(
+        toks, enc, k_out, v_out, cnn = self._step(
             self.params, win, jnp.asarray(self.offset, jnp.int32),
             self.k_caches, self.v_caches,
             jnp.asarray(self.cache_len, jnp.int32), self.cnn_caches)
-        self.enc_chunks.append(np.asarray(enc[0]))
-        # roll right-aligned histories
+        if self.collect_encoder_out:
+            self.enc_chunks.append(np.asarray(enc[0]))
         if self.left > 0:
-            self.k_caches = tuple(
-                jnp.concatenate([kc, kn], axis=1)[:, -self.left:]
-                for kc, kn in zip(self.k_caches, k_new))
-            self.v_caches = tuple(
-                jnp.concatenate([vc, vn], axis=1)[:, -self.left:]
-                for vc, vn in zip(self.v_caches, v_new))
+            self.k_caches, self.v_caches = k_out, v_out
             self.cache_len = min(self.cache_len + self.chunk, self.left)
         self.cnn_caches = cnn
         self.offset += self.chunk

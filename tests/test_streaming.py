@@ -76,7 +76,8 @@ def test_streaming_matches_offline(rng):
                                      method=ASRModel.encode)
 
     sr = StreamingRecognizer(model, params, chunk_size=chunk,
-                             num_left_chunks=left, num_mel_bins=F)
+                             num_left_chunks=left, num_mel_bins=F,
+                             collect_encoder_out=True)
     # feed audio in awkward pieces
     outs = []
     pieces = np.split(wav, [1500, 5000, 5100, 9000, 12000])
