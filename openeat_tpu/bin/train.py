@@ -222,7 +222,11 @@ def main(argv=None):
                         train_cfg.log_interval, logger,
                         metrics_file=os.path.join(args.exp_dir,
                                                   "metrics.jsonl"))
-    dp = mesh.shape["data"]
+    # per-process batch-dim padding target (multi-host: each process
+    # contributes its local slice of the global batch)
+    dp = mesh.shape["data"] // jax.process_count()
+    shard_kw = dict(shard_id=jax.process_index(),
+                    num_shards=jax.process_count())
     rng = jax.random.PRNGKey(train_cfg.seed)
     if args.profile_dir:
         # trace a few warm steps for TensorBoard/Perfetto inspection
@@ -241,14 +245,16 @@ def main(argv=None):
     for epoch in range(start_epoch, train_cfg.max_epoch):
         train_loader = PrefetchLoader(train_ds, collate, args.num_workers,
                                       shuffle_batches=True,
-                                      seed=train_cfg.seed + epoch)
+                                      seed=train_cfg.seed + epoch,
+                                      **shard_kw)
         train_feed = DeviceFeeder(train_loader, frontend, mesh, train=True,
                                   seed=train_cfg.seed + epoch,
                                   pad_batch_multiple=dp)
         rng, erng = jax.random.split(rng)
         state, summary = executor.train(
             state, (b for _, b in iter(train_feed)), erng, epoch)
-        cv_loader = PrefetchLoader(cv_ds, cv_collate, args.num_workers)
+        cv_loader = PrefetchLoader(cv_ds, cv_collate, args.num_workers,
+                                   **shard_kw)
         cv_feed = DeviceFeeder(cv_loader, frontend.without_augmentation(),
                                mesh, train=False, pad_batch_multiple=dp)
         cv_metrics = executor.cv(state.params,

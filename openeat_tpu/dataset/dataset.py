@@ -241,22 +241,33 @@ class PrefetchLoader:
 
     def __init__(self, dataset, collate, num_workers: int = 4,
                  prefetch: int = 4, shuffle_batches: bool = False,
-                 seed: int = 777):
+                 seed: int = 777, shard_id: int = 0, num_shards: int = 1):
+        """shard_id/num_shards: per-process batch partitioning for
+        multi-host training (the reference's DistributedSampler,
+        train_ddp.py:131-134): every process sees the same shuffled
+        order and takes batches round-robin, so shard b-counts differ by
+        at most one (the feeder's batch-dim padding absorbs stragglers).
+        """
         self.dataset = dataset
         self.collate = collate
         self.num_workers = max(1, num_workers)
         self.prefetch = max(1, prefetch)
         self.shuffle_batches = shuffle_batches
         self.seed = seed
+        self.shard_id = shard_id
+        self.num_shards = max(1, num_shards)
         self.epoch = 0
 
     def __len__(self):
-        return len(self.dataset)
+        n = len(self.dataset)
+        return (n - self.shard_id + self.num_shards - 1) // self.num_shards
 
     def __iter__(self) -> Iterator:
         order = np.arange(len(self.dataset))
         if self.shuffle_batches:
             np.random.default_rng(self.seed + self.epoch).shuffle(order)
+        if self.num_shards > 1:
+            order = order[self.shard_id::self.num_shards]
         self.epoch += 1
 
         def produce(idx):

@@ -54,9 +54,19 @@ class DeviceFeeder:
     def __iter__(self) -> Iterator[tuple[list, dict]]:
         rng = jax.random.PRNGKey(self.seed + self.epoch)
         self.epoch += 1
+        multihost = jax.process_count() > 1
         for keys, batch in self.loader:
             batch = self._pad_batch_dim(batch)
-            if self.mesh is not None:
+            if self.mesh is not None and multihost:
+                # multi-controller: this process holds its local shard of
+                # the global batch; assemble the global jax.Array from
+                # per-process data (reference DistributedSampler + DDP
+                # analog). Global batch dim = local * process_count.
+                shardings = mesh_lib.batch_shardings(batch, self.mesh)
+                batch = jax.tree.map(
+                    lambda x, s: jax.make_array_from_process_local_data(
+                        s, np.asarray(x)), batch, shardings)
+            elif self.mesh is not None:
                 shardings = mesh_lib.batch_shardings(batch, self.mesh)
                 batch = jax.device_put(batch, shardings)
             else:

@@ -160,3 +160,22 @@ def test_kaldi_ark_roundtrip(tmp_path, rng):
     for k, m in mats.items():
         got = kaldi_io.read_mat(f"{ark}:{offsets[k]}")
         np.testing.assert_allclose(got, m, rtol=1e-6)
+
+
+def test_prefetch_loader_sharding(tiny):
+    from openeat_tpu.dataset.text import load_dict as _ld
+    d = _ld(tiny["dict"])
+    ds = AudioDataset(tiny["manifest"], d, batch_type="static",
+                      batch_size=2, max_length=100000)
+    all_keys = set()
+    total = 0
+    for shard in range(3):
+        loader = PrefetchLoader(ds, AudioCollate(), num_workers=1,
+                                shard_id=shard, num_shards=3)
+        got = list(loader)
+        total += len(got)
+        for keys, _ in got:
+            all_keys.update(keys)
+    assert total == len(ds)
+    # every utterance appears in exactly one shard
+    assert len(all_keys) == sum(len(b) for b in ds.batches)
