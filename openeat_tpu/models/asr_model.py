@@ -65,6 +65,7 @@ class ASRModel(nn.Module):
     ctc_impl: str = "optax"  # 'optax' | 'native' (Pallas kernel)
     static_chunk_size: int = 0   # >0: streaming-style chunked attention
     num_left_chunks: int = -1
+    use_dynamic_chunk: bool = False  # random chunk sizes during training
     sequence_sharding: bool = False  # SP: time axis over the 'model' axis
     compute_dtype: jnp.dtype = jnp.bfloat16
 
@@ -102,6 +103,7 @@ class ASRModel(nn.Module):
             use_global_cmvn=self.use_global_cmvn,
             static_chunk_size=self.static_chunk_size,
             num_left_chunks=self.num_left_chunks,
+            use_dynamic_chunk=self.use_dynamic_chunk,
             sequence_sharding=self.sequence_sharding,
             remat=self.remat,
             dtype=self.compute_dtype,
@@ -271,6 +273,7 @@ def build_asr_model(model_conf: dict, input_size: int, vocab_size: int,
         ctc_impl=mc.get("ctc_impl", "optax"),
         static_chunk_size=mc.get("static_chunk_size", 0),
         num_left_chunks=mc.get("num_left_chunks", -1),
+        use_dynamic_chunk=mc.get("use_dynamic_chunk", False),
         sequence_sharding=mc.get("sequence_sharding", False),
         compute_dtype=dtype,
     )

@@ -161,6 +161,7 @@ class TransformerEncoder(nn.Module):
     use_global_cmvn: bool = False
     static_chunk_size: int = 0     # >0: chunked (streaming-style) attention
     num_left_chunks: int = -1      # -1: unlimited left context
+    use_dynamic_chunk: bool = False  # train with random chunk sizes
     sequence_sharding: bool = False
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -214,11 +215,22 @@ class TransformerEncoder(nn.Module):
         xs = xs.astype(self.dtype)
         xs, pos_emb, out_lens = self.embed(xs, xs_lens,
                                            deterministic=deterministic)
-        from openeat_tpu.utils.mask import chunk_mask, make_non_pad_mask
+        from openeat_tpu.utils.mask import (chunk_mask, dynamic_chunk_mask,
+                                            make_non_pad_mask)
         mask_pad = make_non_pad_mask(out_lens, xs.shape[1])[:, None, :]
         mask = mask_pad  # [B, 1, T]
-        if self.static_chunk_size > 0:
-            cm = chunk_mask(xs.shape[1], self.static_chunk_size,
+        t = xs.shape[1]
+        if self.use_dynamic_chunk and not deterministic:
+            # WeNet-style dynamic chunk draw per batch: 50% full-context,
+            # else a random chunk in [1, 25]; trains one model usable at
+            # any streaming chunk size
+            key = self.make_rng("dropout")
+            u = jax.random.randint(key, (), 1, max(t, 2))
+            cs = jnp.where(u > t // 2, t, u % 25 + 1)
+            cm = dynamic_chunk_mask(t, cs, self.num_left_chunks)
+            mask = mask & cm[None, :, :]
+        elif self.static_chunk_size > 0:
+            cm = chunk_mask(t, self.static_chunk_size,
                             self.num_left_chunks)
             mask = mask & cm[None, :, :]  # [B, T, T]
         xs = self.encoders(xs, mask, pos_emb, mask_pad,

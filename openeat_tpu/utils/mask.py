@@ -63,6 +63,19 @@ def chunk_mask(size: int, chunk_size: int,
     return m
 
 
+def dynamic_chunk_mask(size: int, chunk_size: jax.Array,
+                       num_left_chunks: jax.Array | int = -1) -> jax.Array:
+    """chunk_mask with a TRACED chunk size (dynamic-chunk training:
+    a random chunk width per batch trains one model that decodes well
+    at any streaming chunk size)."""
+    cs = jnp.maximum(jnp.asarray(chunk_size, jnp.int32), 1)
+    q = jax.lax.broadcasted_iota(jnp.int32, (size, size), 0) // cs
+    k = jax.lax.broadcasted_iota(jnp.int32, (size, size), 1) // cs
+    m = k <= q
+    left = jnp.asarray(num_left_chunks, jnp.int32)
+    return jnp.where(left >= 0, m & (k >= q - left), m)
+
+
 def make_attn_mask(lengths: jax.Array, max_len: int, causal: bool = False) -> jax.Array:
     """Combined padding(+causal) attention mask; [B, T, T] bool, True = attend.
 

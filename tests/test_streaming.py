@@ -114,3 +114,30 @@ def test_chunked_training_runs(rng):
     params = model.init(jax.random.PRNGKey(0), feats, lens, tgt, tlens)
     m = model.apply(params, feats, lens, tgt, tlens)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_dynamic_chunk_training(rng):
+    """Dynamic-chunk training: random chunk width per batch (rng-driven),
+    deterministic eval unaffected."""
+    model = ASRModel(
+        input_size=F, vocab_size=VOCAB, encoder_num_blocks=2,
+        decoder_num_blocks=1, r_decoder_num_blocks=0, reverse_weight=0.0,
+        d_model=32, attention_heads=2, linear_units=64,
+        input_layer="linear", causal=True, use_dynamic_chunk=True,
+        dropout_rate=0.0, compute_dtype=jnp.float32)
+    feats = jnp.asarray(rng.standard_normal((2, 32, F)), jnp.float32)
+    lens = jnp.array([32, 24])
+    tgt = jnp.asarray(rng.integers(1, VOCAB - 1, (2, 4)), jnp.int32)
+    tlens = jnp.array([4, 3])
+    params = model.init(jax.random.PRNGKey(0), feats, lens, tgt, tlens)
+    m1 = model.apply(params, feats, lens, tgt, tlens, deterministic=False,
+                     rngs={"dropout": jax.random.PRNGKey(1)})
+    m2 = model.apply(params, feats, lens, tgt, tlens, deterministic=False,
+                     rngs={"dropout": jax.random.PRNGKey(2)})
+    # different chunk draws -> different losses (dropout_rate is 0, so
+    # the only randomness is the chunk mask)
+    assert float(m1["loss"]) != float(m2["loss"])
+    # eval path has no randomness
+    e1 = model.apply(params, feats, lens, tgt, tlens)
+    e2 = model.apply(params, feats, lens, tgt, tlens)
+    np.testing.assert_allclose(float(e1["loss"]), float(e2["loss"]))
