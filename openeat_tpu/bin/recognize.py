@@ -13,7 +13,6 @@ single process saturates the chip.
 from __future__ import annotations
 
 import argparse
-import logging
 import os
 
 import jax

@@ -25,7 +25,6 @@ from openeat_tpu.dataset.dataset import PrefetchLoader, TextCollate, \
     TextDataset
 from openeat_tpu.dataset.text import load_dict
 from openeat_tpu.models.language_model import build_language_model
-from openeat_tpu.parallel import mesh as mesh_lib
 from openeat_tpu.utils import checkpoint as ckpt_lib
 from openeat_tpu.utils.common import init_logger
 from openeat_tpu.utils.optim import build_optimizer

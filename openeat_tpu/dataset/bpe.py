@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import collections
 import json
-import heapq
 from typing import Iterable
 
 WORD_BOUNDARY = "▁"  # ▁

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import concurrent.futures as futures
 import logging
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 

@@ -16,7 +16,7 @@ openeat_tpu.dataset.batching.
 from __future__ import annotations
 
 import codecs
-from dataclasses import dataclass, replace
+from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np

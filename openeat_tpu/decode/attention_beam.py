@@ -15,15 +15,14 @@ host sync, and the growing KV cache of the reference are all gone.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from openeat_tpu.utils.common import IGNORE_ID
-from openeat_tpu.utils.mask import (mask_finished_preds,
-                                    mask_finished_scores, subsequent_mask)
+from openeat_tpu.utils.mask import mask_finished_preds, \
+    mask_finished_scores
 
 NEG_INF = -1.0e9
 

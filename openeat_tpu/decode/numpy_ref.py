@@ -8,7 +8,6 @@ searches can be verified for exact equivalence on small inputs.
 
 from __future__ import annotations
 
-import math
 
 import numpy as np
 

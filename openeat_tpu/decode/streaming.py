@@ -20,7 +20,6 @@ ring-buffer bookkeeping lives on the host.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

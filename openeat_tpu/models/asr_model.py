@@ -13,7 +13,6 @@ module exposes the pure functions they need (`encode`,
 
 from __future__ import annotations
 
-from typing import Any, Optional
 
 import flax.linen as nn
 import jax

@@ -16,7 +16,7 @@ the surrounding beam-search while_loop compiles to one program.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Callable
 
 import flax.linen as nn
 import jax

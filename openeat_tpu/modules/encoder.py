@@ -18,7 +18,7 @@ sequence parallelism shards block activations' time axis over the
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import flax.linen as nn
 import jax

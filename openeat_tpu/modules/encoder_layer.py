@@ -17,7 +17,7 @@ numerically identical to the full forward under a chunked mask.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import flax.linen as nn
 import jax

@@ -17,7 +17,6 @@ from typing import Any
 
 import flax.linen as nn
 import jax
-import jax.numpy as jnp
 
 
 def conv_out_len(lengths: jax.Array, kernel: int, stride: int) -> jax.Array:

@@ -11,7 +11,7 @@ onward runs on the TPU and fuses.
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

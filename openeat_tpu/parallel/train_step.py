@@ -19,7 +19,6 @@ annotations; no explicit collectives appear here.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, NamedTuple
 
 import jax

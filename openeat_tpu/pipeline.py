@@ -16,7 +16,6 @@ from __future__ import annotations
 from typing import Iterable, Iterator
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from openeat_tpu.ops.frontend import FrontendConfig, compute_features
