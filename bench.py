@@ -21,6 +21,11 @@ import json
 import time
 
 import jax
+
+# persistent compile cache shaves repeated-run startup
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np
 
 
