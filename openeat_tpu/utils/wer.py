@@ -102,10 +102,16 @@ def align(ref: list[str], hyp: list[str]) -> EditStats:
 
 def corpus_wer(refs: dict[str, str], hyps: dict[str, str],
                char_mode: bool = True, case_sensitive: bool = False,
-               verbose_file=None) -> EditStats:
+               verbose_file=None, clusters: bool = False):
     """Aggregate WER/CER over utterances keyed by id
-    (reference compute-wer.py main loop)."""
+    (reference compute-wer.py main loop).
+
+    clusters=True additionally returns per-cluster Mandarin/English
+    stats (reference compute-wer.py:198-251: error breakdown by token
+    script): returns (total, {"Mandarin": EditStats, "English": ...}).
+    """
     total = EditStats()
+    per = {"Mandarin": EditStats(), "English": EditStats()}
     tok = characterize if char_mode else wordize
     for key, ref_text in refs.items():
         hyp_text = hyps.get(key, "")
@@ -116,10 +122,27 @@ def corpus_wer(refs: dict[str, str], hyps: dict[str, str],
         total.dele += s.dele
         total.cor += s.cor
         total.ref_len += s.ref_len
+        if clusters:
+            for r, h, op in s.alignment:
+                unit = r if r != "*" else h
+                c = per["Mandarin" if CJK_RE.fullmatch(unit)
+                        else "English"]
+                if op == "C":
+                    c.cor += 1
+                elif op == "S":
+                    c.sub += 1
+                elif op == "D":
+                    c.dele += 1
+                else:
+                    c.ins += 1
+                if r != "*":
+                    c.ref_len += 1
         if verbose_file is not None:
             verbose_file.write(
                 f"utt: {key}\nWER: {s.wer:.2f} % N={s.ref_len} "
                 f"C={s.cor} S={s.sub} D={s.dele} I={s.ins}\n"
                 "ref: " + " ".join(r for r, _, _ in s.alignment) + "\n"
                 "hyp: " + " ".join(h for _, h, _ in s.alignment) + "\n\n")
+    if clusters:
+        return total, per
     return total

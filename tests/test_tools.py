@@ -98,3 +98,13 @@ def test_rover(tmp_path):
     r = run_tool("tools/rover.py", str(out), str(h1), str(h2), str(h3))
     assert r.returncode == 0, r.stderr
     assert open(out, encoding="utf-8").read().strip() == "u1 你好世界"
+
+
+def test_wer_clusters():
+    from openeat_tpu.utils.wer import corpus_wer
+    refs = {"u1": "你好 HELLO WORLD"}
+    hyps = {"u1": "你坏 HELLO"}
+    total, per = corpus_wer(refs, hyps, clusters=True)
+    assert per["Mandarin"].sub == 1 and per["Mandarin"].cor == 1
+    assert per["English"].cor == 1 and per["English"].dele == 1
+    assert total.errors == 2

@@ -32,12 +32,20 @@ def main():
                    help="word mode (default char/CER)")
     p.add_argument("--case_sensitive", action="store_true")
     p.add_argument("--verbose", action="store_true")
+    p.add_argument("--clusters", action="store_true",
+                   help="Mandarin/English per-cluster breakdown")
     args = p.parse_args()
     refs = read_trn(args.ref)
     hyps = read_trn(args.hyp)
-    total = corpus_wer(refs, hyps, char_mode=not args.word,
-                       case_sensitive=args.case_sensitive,
-                       verbose_file=sys.stdout if args.verbose else None)
+    out = corpus_wer(refs, hyps, char_mode=not args.word,
+                     case_sensitive=args.case_sensitive,
+                     verbose_file=sys.stdout if args.verbose else None,
+                     clusters=args.clusters)
+    total, per = out if args.clusters else (out, {})
+    for name, s in per.items():
+        if s.ref_len or s.ins:
+            print(f"{name} -> {s.wer:.2f} % N={s.ref_len} C={s.cor} "
+                  f"S={s.sub} D={s.dele} I={s.ins}")
     print(f"Overall -> {total.wer:.2f} % N={total.ref_len} C={total.cor} "
           f"S={total.sub} D={total.dele} I={total.ins}")
 
