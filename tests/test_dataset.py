@@ -179,3 +179,16 @@ def test_prefetch_loader_sharding(tiny):
     assert total == len(ds)
     # every utterance appears in exactly one shard
     assert len(all_keys) == sum(len(b) for b in ds.batches)
+
+
+def test_kaldi_compressed_roundtrip(tmp_path, rng):
+    mat = (rng.standard_normal((40, 12)) * 5).astype(np.float32)
+    ark = str(tmp_path / "comp.ark")
+    with open(ark, "wb") as f:
+        off = kaldi_io.write_compressed_ark_entry(f, "u0", mat)
+    got = kaldi_io.read_mat(f"{ark}:{off}")
+    assert got.shape == mat.shape
+    # 8-bit percentile quantization: fractions of the column range
+    err = np.abs(got - mat).max()
+    span = mat.max() - mat.min()
+    assert err < span * 0.05, (err, span)
