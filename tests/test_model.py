@@ -148,3 +148,33 @@ def test_bf16_compute_dtype(rng):
                if jnp.issubdtype(x.dtype, jnp.floating))
     metrics = model.apply(params, *batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+@pytest.mark.parametrize("layer,rate", [("conv2d6", 6), ("conv2d8", 8)])
+def test_subsampling_variants(rng, layer, rate):
+    model = _tiny_model(input_layer=layer, r_decoder_num_blocks=0,
+                        reverse_weight=0.0)
+    feats = jnp.asarray(rng.standard_normal((2, 96, F)), jnp.float32)
+    lens = jnp.array([96, 64])
+    tgt = jnp.asarray(rng.integers(1, VOCAB - 1, (2, 4)), jnp.int32)
+    tlens = jnp.array([4, 3])
+    params = model.init(jax.random.PRNGKey(0), feats, lens, tgt, tlens)
+    enc, enc_lens = model.apply(params, feats, lens,
+                                method=ASRModel.encode)
+    # subsampled length ~ T / rate
+    assert abs(enc.shape[1] - 96 // rate) <= 2
+    assert int(enc_lens[1]) < int(enc_lens[0])
+    m = model.apply(params, feats, lens, tgt, tlens)
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_tied_embedding(rng):
+    model = _tiny_model(tie_word_embedding=True, r_decoder_num_blocks=0,
+                        reverse_weight=0.0)
+    batch = _batch(rng)
+    params = model.init(jax.random.PRNGKey(0), *batch)
+    flat = {"/".join(str(getattr(k, "key", k)) for k in p): v
+            for p, v in jax.tree_util.tree_flatten_with_path(params)[0]}
+    assert not any("output_layer" in k for k in flat)
+    m = model.apply(params, *batch)
+    assert np.isfinite(float(m["loss"]))
