@@ -97,7 +97,9 @@ def main(steps=400, n_train=256, n_test=64):
     batch = {"features": feats, "features_length": flens,
              "targets": tgt, "targets_length": tlens}
     tx, _ = build_optimizer(2e-3, steps // 8)
-    state = init_state(model, tx, batch)
+    # init on a micro-batch-shaped slice (init only needs shapes; the
+    # full-set forward would compile a needlessly huge program)
+    state = init_state(model, tx, {k: v[:64] for k, v in batch.items()})
     step = jax.jit(build_train_step(model, tx), donate_argnums=(0,))
     key = jax.random.PRNGKey(0)
     bsz = 64

@@ -66,10 +66,16 @@ def get_parser() -> argparse.ArgumentParser:
     return p
 
 
-def load_model(config_path: str, checkpoint: str):
+def load_model(config_path: str, checkpoint: str,
+               fallback_vocab: int | None = None):
     cfg = load_config(config_path)
     input_size = cfg.get("input_size", 80)
-    vocab_size = cfg["vocab_size"]
+    # raw WeNet release yamls carry no vocab_size; fall back to the dict
+    # (reference recognize.py derives it from the dict file too)
+    vocab_size = cfg.get("vocab_size", fallback_vocab)
+    if vocab_size is None:
+        raise ValueError(f"{config_path} has no vocab_size and no dict "
+                         "fallback was provided")
     model = build_asr_model(dict(cfg.get("model_conf", {}) or {}),
                             input_size, vocab_size,
                             use_global_cmvn=cfg.get("use_global_cmvn",
@@ -81,9 +87,9 @@ def load_model(config_path: str, checkpoint: str):
 def main(argv=None):
     args = get_parser().parse_args(argv)
     logger = init_logger()
-    model, params, cfg = load_model(args.config, args.checkpoint)
-
     char_dict = load_dict(args.dict_path)
+    model, params, cfg = load_model(args.config, args.checkpoint,
+                                    fallback_vocab=len(char_dict))
     id2tok = {v: k for k, v in char_dict.items()}
     bpe = load_bpe(args.bpe_model)
     collate_conf = dict(cfg.get("collate_conf", {}) or {})

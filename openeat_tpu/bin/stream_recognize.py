@@ -42,8 +42,9 @@ def get_parser():
 def main(argv=None):
     args = get_parser().parse_args(argv)
     logger = init_logger()
-    model, params, cfg = load_model(args.config, args.checkpoint)
     char_dict = load_dict(args.dict_path)
+    model, params, cfg = load_model(args.config, args.checkpoint,
+                                    fallback_vocab=len(char_dict))
     id2tok = {v: k for k, v in char_dict.items()}
     utts = parse_manifest(args.test_data, char_dict,
                           max_length=10 ** 9, sort=False)

@@ -370,15 +370,23 @@ def _ctc_pallas_batched(label_logp, input_lens, s_lens, allow2,
     return loss[:b, 0], jnp.moveaxis(gamma, 0, 1)[:b, :, :s]
 
 
+_GRID_KERNEL_MAX_BATCH = 256  # larger grids overflow SMEM (measured)
+
+
 def _pallas_dispatch(label_logp, input_lens, s_lens, allow2,
                      interpret=False):
+    """Pick a kernel variant by shape; None = caller should use the
+    pure-JAX scan path (giant batches whose grids overflow SMEM)."""
     b, t, s = label_logp.shape
     s_pad = _round_up(s, 128)
     b_pad = _round_up(b, 8)
     if 4 * t * b_pad * s_pad * 4 <= _BATCHED_VMEM_BUDGET:
         return _ctc_pallas_batched(label_logp, input_lens, s_lens, allow2,
                                    interpret)
-    return _ctc_pallas(label_logp, input_lens, s_lens, allow2, interpret)
+    if b <= _GRID_KERNEL_MAX_BATCH:
+        return _ctc_pallas(label_logp, input_lens, s_lens, allow2,
+                           interpret)
+    return None
 
 
 # ---------------- public API with custom VJP -----------------------------
@@ -406,9 +414,11 @@ def _ctc_fwd_impl(log_probs, input_lens, labels, label_lens, blank_id,
     label_logp = jnp.take_along_axis(
         log_probs.astype(jnp.float32),
         z[:, None, :].repeat(log_probs.shape[1], axis=1), axis=2)
+    result = None
     if use_pallas and jax.default_backend() == "tpu":
-        loss, gamma = _pallas_dispatch(label_logp, input_lens, s_lens,
-                                       allow2)
+        result = _pallas_dispatch(label_logp, input_lens, s_lens, allow2)
+    if result is not None:
+        loss, gamma = result
     else:
         loss, alphas = ctc_forward_scan(label_logp, input_lens, s_lens,
                                         allow2)
