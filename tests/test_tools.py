@@ -108,3 +108,19 @@ def test_wer_clusters():
     assert per["Mandarin"].sub == 1 and per["Mandarin"].cor == 1
     assert per["English"].cor == 1 and per["English"].dele == 1
     assert total.errors == 2
+
+
+def test_compute_cmvn(tmp_path, rng):
+    # tiny manifest from the shared fixture builder
+    from tests.make_tiny_data import build as build_tiny
+    d = build_tiny(str(tmp_path / "data"), n_utts=4)
+    out = str(tmp_path / "cmvn.json")
+    r = run_tool("tools/compute_cmvn.py", d["manifest"], out,
+                 "--mel_bins", "40", "--batch_size", "2")
+    assert r.returncode == 0, r.stderr
+    from openeat_tpu.utils.cmvn import load_cmvn
+    mean, istd = load_cmvn(out, is_json=True)
+    assert mean.shape == (40,) and istd.shape == (40,)
+    assert np.all(np.isfinite(mean)) and np.all(istd > 0)
+    # sanity: log-mel means of real audio are O(1..20)
+    assert -50 < mean.mean() < 50
