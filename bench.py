@@ -17,6 +17,7 @@ Baseline: BASELINE.json target of 5000 audio-sec/sec/chip
 
 from __future__ import annotations
 
+import functools
 import json
 import time
 
@@ -58,7 +59,7 @@ def main():
     state = init_state(model, tx, proto)
     train_step = build_train_step(model, tx)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def e2e_step(state, wav, wav_lens, targets, target_lens, rng):
         k1, k2 = jax.random.split(rng)
         feats, flens = compute_features(wav, wav_lens, k1, fcfg, True)
