@@ -76,11 +76,24 @@ def load_model(config_path: str, checkpoint: str,
     if vocab_size is None:
         raise ValueError(f"{config_path} has no vocab_size and no dict "
                          "fallback was provided")
+    params, _ = ckpt_lib.load_checkpoint(checkpoint)
+    # infer use_global_cmvn from the checkpoint itself: flax `apply`
+    # would silently IGNORE the checkpoint's global_cmvn stats if the
+    # model were built without the submodule (ADVICE r1, severe silent
+    # accuracy loss), so the presence of the params is authoritative;
+    # an explicit conflicting config flag is an error, not a fallback.
+    has_cmvn_params = "global_cmvn" in (
+        params.get("params", {}).get("encoder", {}) or {})
+    use_global_cmvn = cfg.get("use_global_cmvn", has_cmvn_params)
+    if use_global_cmvn != has_cmvn_params:
+        raise ValueError(
+            f"{config_path} sets use_global_cmvn={use_global_cmvn} but the "
+            f"checkpoint {checkpoint} "
+            f"{'has' if has_cmvn_params else 'is missing'} "
+            "encoder/global_cmvn params — config/checkpoint mismatch")
     model = build_asr_model(dict(cfg.get("model_conf", {}) or {}),
                             input_size, vocab_size,
-                            use_global_cmvn=cfg.get("use_global_cmvn",
-                                                    False))
-    params, _ = ckpt_lib.load_checkpoint(checkpoint)
+                            use_global_cmvn=use_global_cmvn)
     return model, params, cfg
 
 

@@ -145,15 +145,23 @@ def main(argv=None):
     model = build_asr_model(model_conf, input_size, vocab_size,
                             use_global_cmvn=args.cmvn_file is not None)
 
-    # resolved config for decode-time reuse (reference train.py:149-152)
+    # resolved config for decode-time reuse (reference train.py:149-152).
+    # use_global_cmvn MUST be recorded or recognize.py silently builds a
+    # model without the global_cmvn submodule and flax ignores the
+    # checkpoint's stats (ADVICE r1: severe silent accuracy loss).
     resolved = dict(cfg)
     resolved["input_size"] = input_size
     resolved["vocab_size"] = vocab_size
+    resolved["use_global_cmvn"] = args.cmvn_file is not None
     with open(os.path.join(args.exp_dir, "train.yaml"), "w") as f:
         yaml.safe_dump(resolved, f, sort_keys=False)
 
-    # steps & optimizer
-    steps_per_epoch = max(len(train_ds) // train_cfg.accum_grad, 1)
+    # steps & optimizer. accum_grad splits each loader batch into
+    # micro-batches inside the jit (DeviceFeeder emits [accum, micro,...]),
+    # so one loader batch == one optimizer step regardless of accum_grad
+    # (the reference instead groups accum_grad loader batches per step,
+    # executor.py:42-63 — equivalent with batch_size scaled accordingly).
+    steps_per_epoch = max(len(train_ds), 1)
     warmup_steps = (train_cfg.warmup_steps if train_cfg.warmup_steps
                     else int(train_cfg.warmup_epoch * steps_per_epoch))
     example_keys, example_host = collate(train_ds[len(train_ds) // 2])
@@ -211,7 +219,6 @@ def main(argv=None):
         jax.tree.map(lambda _: mesh_lib.replicated(mesh), state.opt_state),
         mesh_lib.replicated(mesh))
     state = jax.device_put(state, state_shardings)
-    bshard_proto = mesh_lib.batch_shardings(example_batch, mesh)
     train_step = jax.jit(
         build_train_step(model, tx, train_cfg.accum_grad,
                          train_cfg.grad_clip),
@@ -234,7 +241,8 @@ def main(argv=None):
         warm_loader = PrefetchLoader(train_ds, collate, args.num_workers)
         warm_feed = DeviceFeeder(warm_loader, frontend, mesh, train=True,
                                  seed=train_cfg.seed,
-                                 pad_batch_multiple=dp)
+                                 pad_batch_multiple=dp,
+                                 accum_grad=train_cfg.accum_grad)
         it = iter(warm_feed)
         _, wb = next(it)
         state, _ = train_step(state, wb, jax.random.PRNGKey(0))  # compile
@@ -249,7 +257,8 @@ def main(argv=None):
                                       **shard_kw)
         train_feed = DeviceFeeder(train_loader, frontend, mesh, train=True,
                                   seed=train_cfg.seed + epoch,
-                                  pad_batch_multiple=dp)
+                                  pad_batch_multiple=dp,
+                                  accum_grad=train_cfg.accum_grad)
         rng, erng = jax.random.split(rng)
         state, summary = executor.train(
             state, (b for _, b in iter(train_feed)), erng, epoch)

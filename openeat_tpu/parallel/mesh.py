@@ -94,11 +94,18 @@ def param_shardings(params: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map_with_path(one, params)
 
 
-def batch_shardings(batch: Any, mesh: Mesh) -> Any:
-    """Shard the leading (batch) axis of every array on 'data'."""
+def batch_shardings(batch: Any, mesh: Mesh, batch_axis: int = 0) -> Any:
+    """Shard the batch axis of every array on 'data'.
+
+    batch_axis=1 serves grad-accumulation batches laid out as
+    [accum, micro_batch, ...]: the accum axis is scanned inside the jit
+    (one slice per micro-step), so only the micro-batch axis is sharded.
+    """
     def one(x):
-        if hasattr(x, "ndim") and x.ndim >= 1:
-            return NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
+        if hasattr(x, "ndim") and x.ndim > batch_axis:
+            spec = [None] * x.ndim
+            spec[batch_axis] = "data"
+            return NamedSharding(mesh, P(*spec))
         return NamedSharding(mesh, P())
     return jax.tree.map(one, batch)
 

@@ -27,13 +27,20 @@ class DeviceFeeder:
 
     def __init__(self, loader: Iterable, frontend: FrontendConfig,
                  mesh=None, train: bool = True, seed: int = 0,
-                 pad_batch_multiple: int = 1):
+                 pad_batch_multiple: int = 1, accum_grad: int = 1):
         self.loader = loader
         self.frontend = frontend
         self.mesh = mesh
         self.train = train
         self.seed = seed
         self.pad_batch_multiple = max(1, pad_batch_multiple)
+        # accum_grad > 1 splits every host batch into [accum, micro, ...]
+        # for the lax.scan micro-batching inside the jitted train step
+        # (parallel.train_step.build_train_step contract). The effective
+        # batch per optimizer step is unchanged; accumulation trades peak
+        # activation memory for scan steps (reference executor.py:42-63
+        # instead groups loader batches — equivalent up to batch_size).
+        self.accum_grad = max(1, accum_grad)
         self.epoch = 0
 
     def __len__(self):
@@ -42,7 +49,7 @@ class DeviceFeeder:
     def _pad_batch_dim(self, batch: dict) -> dict:
         """Round the batch dim up by repeating utterances — keeps the
         number of compiled program shapes bounded (XLA static shapes)."""
-        m = self.pad_batch_multiple
+        m = self.pad_batch_multiple * self.accum_grad
         b = next(iter(batch.values())).shape[0]
         if m <= 1 or b % m == 0:
             return batch
@@ -50,31 +57,54 @@ class DeviceFeeder:
         idx = np.concatenate([np.arange(b), np.arange(pad) % b])
         return {k: v[idx] for k, v in batch.items()}
 
+    def _split_accum(self, batch: dict) -> dict:
+        """Host-side [accum*micro, ...] -> [accum, micro, ...] reshape.
+
+        Done on the host so the micro-batch axis keeps the 'data'
+        sharding with no device-side all-to-all (a device reshape of a
+        batch-sharded axis would re-shuffle rows across chips)."""
+        a = self.accum_grad
+        return {k: v.reshape((a, v.shape[0] // a) + v.shape[1:])
+                for k, v in batch.items()}
+
     def __iter__(self) -> Iterator[tuple[list, dict]]:
         rng = jax.random.PRNGKey(self.seed + self.epoch)
         self.epoch += 1
         multihost = jax.process_count() > 1
+        accum = self.accum_grad
         for keys, batch in self.loader:
             batch = self._pad_batch_dim(batch)
+            if accum > 1:
+                batch = self._split_accum(batch)
+            baxis = 1 if accum > 1 else 0
             if self.mesh is not None and multihost:
                 # multi-controller: this process holds its local shard of
                 # the global batch; assemble the global jax.Array from
                 # per-process data (reference DistributedSampler + DDP
                 # analog). Global batch dim = local * process_count.
-                shardings = mesh_lib.batch_shardings(batch, self.mesh)
+                shardings = mesh_lib.batch_shardings(batch, self.mesh,
+                                                     batch_axis=baxis)
                 batch = jax.tree.map(
                     lambda x, s: jax.make_array_from_process_local_data(
                         s, np.asarray(x)), batch, shardings)
             elif self.mesh is not None:
-                shardings = mesh_lib.batch_shardings(batch, self.mesh)
+                shardings = mesh_lib.batch_shardings(batch, self.mesh,
+                                                     batch_axis=baxis)
                 batch = jax.device_put(batch, shardings)
             else:
                 batch = jax.device_put(batch)
             if "wav" in batch:
                 rng, k = jax.random.split(rng)
-                feats, flens = compute_features(
-                    batch["wav"], batch["wav_lens"], k, self.frontend,
-                    self.train)
+                if accum > 1:
+                    feats, flens = jax.vmap(
+                        lambda w, l, kk: compute_features(
+                            w, l, kk, self.frontend, self.train))(
+                        batch["wav"], batch["wav_lens"],
+                        jax.random.split(k, accum))
+                else:
+                    feats, flens = compute_features(
+                        batch["wav"], batch["wav_lens"], k, self.frontend,
+                        self.train)
                 out = {"features": feats, "features_length": flens}
                 if "targets" in batch:
                     out["targets"] = batch["targets"]
@@ -85,7 +115,14 @@ class DeviceFeeder:
                        if k in ("features", "features_length", "targets",
                                 "targets_length")}
                 rng, k = jax.random.split(rng)
-                out["features"] = augment_features(
-                    out["features"], out["features_length"], k,
-                    self.frontend, self.train)
+                if accum > 1:
+                    out["features"] = jax.vmap(
+                        lambda f, l, kk: augment_features(
+                            f, l, kk, self.frontend, self.train))(
+                        out["features"], out["features_length"],
+                        jax.random.split(k, accum))
+                else:
+                    out["features"] = augment_features(
+                        out["features"], out["features_length"], k,
+                        self.frontend, self.train)
             yield keys, out

@@ -46,19 +46,26 @@ class Executor:
     def train(self, state, batches: Iterable[dict], rng,
               epoch: int = 0) -> tuple[Any, dict]:
         """One epoch. `batches` yields device-ready dict batches."""
-        tot_loss, tot_acc, n_seen, n_batches = 0.0, 0.0, 0, 0
+        n_batches = 0
+        # device-side running sums over EVERY batch (reference
+        # executor.py:65-75 accumulates per-batch; doing it with lazy
+        # device adds avoids a host sync per step — log_interval only
+        # gates log emission)
+        run_loss, run_acc, run_ok = 0.0, 0.0, 0.0
         t0 = time.time()
         frames = 0
+        jnp = jax.numpy
         for i, batch in enumerate(batches):
             rng, step_rng = jax.random.split(rng)
             state, metrics = self.train_step(state, batch, step_rng)
+            loss_dev = metrics["loss"]
+            ok = jnp.isfinite(loss_dev)
+            run_loss = run_loss + jnp.where(ok, loss_dev, 0.0)
+            run_acc = run_acc + jnp.where(ok, metrics.get("acc", 0.0), 0.0)
+            run_ok = run_ok + ok
             if (i + 1) % self.log_interval == 0:
                 metrics = jax.device_get(metrics)
                 loss = float(metrics["loss"])
-                if math.isfinite(loss):
-                    tot_loss += loss
-                    tot_acc += float(metrics.get("acc", 0.0))
-                    n_seen += 1
                 lr = (float(self.schedule(int(state.step)))
                       if self.schedule else float("nan"))
                 self.logger.info(
@@ -80,6 +87,9 @@ class Executor:
                 # async device-side accumulation — no host sync per step
                 frames = frames + jax.numpy.sum(fl)
         frames = int(jax.device_get(frames)) if n_batches else 0  # drains
+        n_seen = float(jax.device_get(run_ok)) if n_batches else 0.0
+        tot_loss = float(jax.device_get(run_loss)) if n_batches else 0.0
+        tot_acc = float(jax.device_get(run_acc)) if n_batches else 0.0
         dt = time.time() - t0
         summary = {
             "train_loss": tot_loss / max(n_seen, 1),
