@@ -129,6 +129,24 @@ def main(argv=None):
     cv_collate = AudioCollate(resample_rate=fe_conf.get("resample_rate",
                                                         16000))
     frontend = FrontendConfig.from_collate_conf(collate_conf)
+    # global CMVN and per-utterance normalization are exclusive (WeNet
+    # convention): the stats from tools/compute_cmvn.py describe RAW
+    # fbank output, so applying them after per-utt norm would normalize
+    # an already mean-0/var-1 distribution with raw log-mel stats
+    # (ADVICE r1). An explicit normalization: true + --cmvn_file is a
+    # config error; the default (unset) flips to false.
+    if args.cmvn_file and frontend.normalization:
+        if collate_conf.get("normalization") is True:
+            raise ValueError(
+                "collate_conf.normalization: true is incompatible with "
+                "--cmvn_file (global CMVN stats are computed on raw "
+                "fbank); remove one of the two")
+        from dataclasses import replace as _dc_replace
+        frontend = _dc_replace(frontend, normalization=False)
+        collate_conf["normalization"] = False
+        cfg.setdefault("collate_conf", {})["normalization"] = False
+        logger.info("global CMVN configured: per-utterance normalization "
+                    "disabled (stats are over raw fbank)")
     input_size = (fe_conf.get("mel_bins", 80) if data_type == "wav"
                   else train_ds.input_size)
 

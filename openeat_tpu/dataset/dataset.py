@@ -245,8 +245,11 @@ class PrefetchLoader:
         """shard_id/num_shards: per-process batch partitioning for
         multi-host training (the reference's DistributedSampler,
         train_ddp.py:131-134): every process sees the same shuffled
-        order and takes batches round-robin, so shard b-counts differ by
-        at most one (the feeder's batch-dim padding absorbs stragglers).
+        order, wrapped around to a multiple of num_shards (torch
+        DistributedSampler padding semantics), and takes batches
+        round-robin. Every shard therefore yields EXACTLY the same
+        number of batches per epoch — an uneven split would leave one
+        process alone in the collective train step and hang the pod.
         """
         self.dataset = dataset
         self.collate = collate
@@ -259,14 +262,17 @@ class PrefetchLoader:
         self.epoch = 0
 
     def __len__(self):
-        n = len(self.dataset)
-        return (n - self.shard_id + self.num_shards - 1) // self.num_shards
+        # ceil: identical for every shard (wrap-around padding)
+        return -(-len(self.dataset) // self.num_shards)
 
     def __iter__(self) -> Iterator:
         order = np.arange(len(self.dataset))
         if self.shuffle_batches:
             np.random.default_rng(self.seed + self.epoch).shuffle(order)
         if self.num_shards > 1:
+            total = -(-len(order) // self.num_shards) * self.num_shards
+            if total > len(order):
+                order = np.resize(order, total)  # tiles (wrap-around)
             order = order[self.shard_id::self.num_shards]
         self.epoch += 1
 

@@ -163,22 +163,27 @@ def test_kaldi_ark_roundtrip(tmp_path, rng):
 
 
 def test_prefetch_loader_sharding(tiny):
+    """Every shard yields EXACTLY the same number of batches (wrap-around
+    padding like torch DistributedSampler) — an uneven split would leave
+    one process alone in the collective train step and hang the pod
+    (ADVICE r1)."""
     from openeat_tpu.dataset.text import load_dict as _ld
     d = _ld(tiny["dict"])
     ds = AudioDataset(tiny["manifest"], d, batch_type="static",
                       batch_size=2, max_length=100000)
-    all_keys = set()
-    total = 0
-    for shard in range(3):
-        loader = PrefetchLoader(ds, AudioCollate(), num_workers=1,
-                                shard_id=shard, num_shards=3)
-        got = list(loader)
-        total += len(got)
-        for keys, _ in got:
-            all_keys.update(keys)
-    assert total == len(ds)
-    # every utterance appears in exactly one shard
-    assert len(all_keys) == sum(len(b) for b in ds.batches)
+    for num_shards in (3, 4, 5):
+        per_shard = -(-len(ds) // num_shards)
+        all_keys = set()
+        for shard in range(num_shards):
+            loader = PrefetchLoader(ds, AudioCollate(), num_workers=1,
+                                    shard_id=shard, num_shards=num_shards)
+            got = list(loader)
+            assert len(got) == per_shard == len(loader), (
+                num_shards, shard, len(got))
+            for keys, _ in got:
+                all_keys.update(keys)
+        # wrap-around duplicates a few batches but misses none
+        assert len(all_keys) == sum(len(b) for b in ds.batches)
 
 
 def test_kaldi_compressed_roundtrip(tmp_path, rng):

@@ -7,6 +7,11 @@ first-party by streaming the corpus through the device fbank frontend
 and accumulating sum / sum-of-squares / frame counts, written in the
 WeNet JSON format `{mean_stat, var_stat, frame_num}` that
 openeat_tpu.utils.cmvn.load_cmvn (and WeNet itself) reads.
+
+Stats are over RAW fbank output (no per-utterance normalization) —
+the WeNet convention. bin/train.py therefore disables per-utterance
+normalization whenever --cmvn_file is given, and rejects an explicit
+`normalization: true` alongside it.
 """
 
 import argparse
