@@ -1,8 +1,12 @@
 #!/usr/bin/env bash
-# LibriSpeech recipe: flac->wav prep is site-specific; from kaldi-style
-# data dirs onward this mirrors the reference (examples/librispeech/
-# run.sh:79-204) with BPE-1000 units; the WER stage re-joins BPE pieces
-# automatically (token_ids_to_text replaces the sed '▁'->space step).
+# LibriSpeech recipe. Raw-corpus FLAC is ingested DIRECTLY (first-party
+# decoder, openeat_tpu/dataset/flac.py + native/openeat_io.cc) — no
+# flac->wav conversion step. Point wav.scp at the distributed .flac
+# files (local/prepare_data.py writes it from an extracted corpus dir);
+# from kaldi-style data dirs onward this mirrors the reference
+# (examples/librispeech/run.sh:79-204) with BPE-1000 units; the WER
+# stage re-joins BPE pieces automatically (token_ids_to_text replaces
+# the sed '▁'->space step).
 set -euo pipefail
 
 stage=1

@@ -8,9 +8,12 @@
 // with a std::thread pool and returns float32 mono buffers, exposed to
 // Python via ctypes (openeat_tpu/runtime/native_io.py).
 //
-// Supported: RIFF/WAVE PCM 8/16/24/32-bit and IEEE float32, any channel
-// count (averaged to mono), optional [start_s, end_s) segment slicing —
-// semantics identical to openeat_tpu.dataset.audio.read_wav.
+// Supported: RIFF/WAVE PCM 8/16/24/32-bit and IEEE float32, plus native
+// FLAC (all subframe types, rice/rice2 residuals, stereo decorrelation —
+// LibriSpeech's distribution format), any channel count (averaged to
+// mono), optional [start_s, end_s) segment slicing — semantics identical
+// to openeat_tpu.dataset.audio.read_audio / dataset.flac.read_flac
+// (which is also the tested python oracle for this decoder).
 
 #include <atomic>
 #include <cstdint>
@@ -126,13 +129,357 @@ WavResult DecodeWav(const char* path, double start_s, double end_s) {
   return r;
 }
 
+// ---------------------------------------------------------------------------
+// FLAC decoder (RFC 9639 subset; mirrors openeat_tpu/dataset/flac.py)
+
+struct BitReader {
+  const uint8_t* data;
+  size_t nbytes;
+  size_t pos = 0;  // bit position
+  bool ok = true;
+
+  uint64_t Read(int n) {
+    uint64_t v = 0;
+    for (int i = 0; i < n; ++i) {
+      size_t p = pos + i;
+      if (p >= nbytes * 8) {
+        ok = false;
+        return 0;
+      }
+      v = (v << 1) | ((data[p >> 3] >> (7 - (p & 7))) & 1);
+    }
+    pos += n;
+    return v;
+  }
+  int64_t ReadSigned(int n) {
+    uint64_t v = Read(n);
+    if (n > 0 && (v >> (n - 1))) return (int64_t)v - ((int64_t)1 << n);
+    return (int64_t)v;
+  }
+  int64_t ReadUnary() {
+    int64_t q = 0;
+    while (true) {
+      if (pos >= nbytes * 8) {
+        ok = false;
+        return 0;
+      }
+      int bit = (data[pos >> 3] >> (7 - (pos & 7))) & 1;
+      ++pos;
+      if (bit) return q;
+      ++q;
+    }
+  }
+  void Align() { pos = (pos + 7) & ~(size_t)7; }
+  size_t BytePos() const { return pos >> 3; }
+  bool AtEnd() const { return pos >= nbytes * 8; }
+};
+
+uint8_t Crc8(const uint8_t* d, size_t n) {
+  uint8_t crc = 0;
+  for (size_t i = 0; i < n; ++i) {
+    crc ^= d[i];
+    for (int b = 0; b < 8; ++b)
+      crc = (crc & 0x80) ? (uint8_t)((crc << 1) ^ 0x07) : (uint8_t)(crc << 1);
+  }
+  return crc;
+}
+
+uint16_t Crc16(const uint8_t* d, size_t n) {
+  uint16_t crc = 0;
+  for (size_t i = 0; i < n; ++i) {
+    crc ^= (uint16_t)d[i] << 8;
+    for (int b = 0; b < 8; ++b)
+      crc = (crc & 0x8000) ? (uint16_t)((crc << 1) ^ 0x8005)
+                           : (uint16_t)(crc << 1);
+  }
+  return crc;
+}
+
+const int kBlockSizes[16] = {0,   192,  576,  1152, 2304, 4608, -1,    -2,
+                             256, 512,  1024, 2048, 4096, 8192, 16384, 32768};
+const int kSampleRates[16] = {0,     88200, 176400, 192000, 8000, 16000,
+                              22050, 24000, 32000,  44100,  48000, 96000,
+                              -1,    -2,    -3,     0};
+const int kSampleSizes[8] = {0, 8, 12, 0, 16, 20, 24, 32};
+
+bool ReadUtf8Num(BitReader& br, uint64_t* out) {
+  uint64_t b0 = br.Read(8);
+  if (!br.ok) return false;
+  if (b0 < 0x80) {
+    *out = b0;
+    return true;
+  }
+  int n = 0;
+  while ((b0 << n) & 0x80) ++n;
+  if (n < 2 || n > 7) return false;
+  uint64_t val = b0 & (0x7Full >> n);
+  for (int i = 0; i < n - 1; ++i) {
+    uint64_t c = br.Read(8);
+    if (!br.ok || (c & 0xC0) != 0x80) return false;
+    val = (val << 6) | (c & 0x3F);
+  }
+  *out = val;
+  return true;
+}
+
+bool DecodeResidual(BitReader& br, int blocksize, int order,
+                    std::vector<int64_t>* out) {
+  int method = (int)br.Read(2);
+  if (method > 1) return false;
+  int pbits = method == 0 ? 4 : 5;
+  int escape = (1 << pbits) - 1;
+  int porder = (int)br.Read(4);
+  int nparts = 1 << porder;
+  if (blocksize % nparts || (blocksize >> porder) < order) return false;
+  out->clear();
+  out->reserve(blocksize - order);
+  for (int p = 0; p < nparts; ++p) {
+    int count = (blocksize >> porder) - (p == 0 ? order : 0);
+    int param = (int)br.Read(pbits);
+    if (param == escape) {
+      int raw = (int)br.Read(5);
+      for (int i = 0; i < count; ++i)
+        out->push_back(raw ? br.ReadSigned(raw) : 0);
+    } else {
+      for (int i = 0; i < count; ++i) {
+        int64_t q = br.ReadUnary();
+        uint64_t u = ((uint64_t)q << param) | br.Read(param);
+        out->push_back((int64_t)(u >> 1) ^ -(int64_t)(u & 1));
+      }
+    }
+    if (!br.ok) return false;
+  }
+  return true;
+}
+
+bool DecodeSubframe(BitReader& br, int blocksize, int bps,
+                    std::vector<int64_t>* x) {
+  if (br.Read(1)) return false;  // pad bit must be 0
+  int t = (int)br.Read(6);
+  int wasted = 0;
+  if (br.Read(1)) wasted = (int)br.ReadUnary() + 1;
+  if (!br.ok) return false;
+  bps -= wasted;
+  x->assign(blocksize, 0);
+  std::vector<int64_t> res;
+  if (t == 0) {  // CONSTANT
+    int64_t v = br.ReadSigned(bps);
+    for (int i = 0; i < blocksize; ++i) (*x)[i] = v;
+  } else if (t == 1) {  // VERBATIM
+    for (int i = 0; i < blocksize; ++i) (*x)[i] = br.ReadSigned(bps);
+  } else if (t >= 8 && t <= 12) {  // FIXED
+    int order = t & 7;
+    for (int i = 0; i < order; ++i) (*x)[i] = br.ReadSigned(bps);
+    if (!DecodeResidual(br, blocksize, order, &res)) return false;
+    static const int kC[5][4] = {{0, 0, 0, 0},
+                                 {1, 0, 0, 0},
+                                 {2, -1, 0, 0},
+                                 {3, -3, 1, 0},
+                                 {4, -6, 4, -1}};
+    for (int i = order; i < blocksize; ++i) {
+      int64_t pred = 0;
+      for (int j = 0; j < order; ++j) pred += kC[order][j] * (*x)[i - 1 - j];
+      (*x)[i] = res[i - order] + pred;
+    }
+  } else if (t >= 32) {  // LPC
+    int order = (t & 31) + 1;
+    for (int i = 0; i < order; ++i) (*x)[i] = br.ReadSigned(bps);
+    int prec = (int)br.Read(4) + 1;
+    if (prec == 16) return false;
+    int shift = (int)br.ReadSigned(5);
+    if (shift < 0) return false;
+    std::vector<int64_t> coef(order);
+    for (int i = 0; i < order; ++i) coef[i] = br.ReadSigned(prec);
+    if (!DecodeResidual(br, blocksize, order, &res)) return false;
+    for (int i = order; i < blocksize; ++i) {
+      int64_t pred = 0;
+      for (int j = 0; j < order; ++j) pred += coef[j] * (*x)[i - 1 - j];
+      (*x)[i] = res[i - order] + (pred >> shift);
+    }
+  } else {
+    return false;
+  }
+  if (!br.ok) return false;
+  if (wasted)
+    for (auto& v : *x) v <<= wasted;
+  return true;
+}
+
+WavResult DecodeFlac(const std::vector<uint8_t>& file, const char* path,
+                     double start_s, double end_s) {
+  WavResult r;
+  if (file.size() < 42 || memcmp(file.data(), "fLaC", 4)) {
+    r.error = std::string(path) + ": not FLAC";
+    return r;
+  }
+  size_t pos = 4;
+  uint32_t rate = 0;
+  int nch = 0, bps = 0;
+  uint64_t total = 0;
+  bool have_info = false;
+  while (pos + 4 <= file.size()) {
+    int last = file[pos] >> 7, btype = file[pos] & 0x7F;
+    uint32_t blen = ((uint32_t)file[pos + 1] << 16) |
+                    ((uint32_t)file[pos + 2] << 8) | file[pos + 3];
+    if (btype == 0 && pos + 4 + 34 <= file.size()) {
+      const uint8_t* si = file.data() + pos + 4;
+      rate = ((uint32_t)si[10] << 12) | ((uint32_t)si[11] << 4) |
+             (si[12] >> 4);
+      nch = ((si[12] >> 1) & 7) + 1;
+      bps = (((si[12] & 1) << 4) | (si[13] >> 4)) + 1;
+      total = ((uint64_t)(si[13] & 0x0F) << 32) |
+              ((uint64_t)si[14] << 24) | ((uint64_t)si[15] << 16) |
+              ((uint64_t)si[16] << 8) | si[17];
+      have_info = true;
+    }
+    pos += 4 + blen;
+    if (last) break;
+  }
+  if (!have_info || rate == 0 || nch == 0) {
+    r.error = std::string(path) + ": missing FLAC STREAMINFO";
+    return r;
+  }
+  BitReader br{file.data() + pos, file.size() - pos};
+  std::vector<double> mono;  // running mono mix
+  if (total) mono.reserve(total);
+  std::vector<std::vector<int64_t>> chans(8);
+  while (!br.AtEnd()) {
+    if ((br.nbytes * 8 - br.pos) < 16) break;  // trailing padding
+    size_t frame_start = br.BytePos();
+    if (br.Read(14) != 0x3FFE) {
+      r.error = std::string(path) + ": FLAC frame sync lost";
+      return r;
+    }
+    br.Read(1);  // reserved
+    br.Read(1);  // blocking strategy
+    int bs_code = (int)br.Read(4);
+    int sr_code = (int)br.Read(4);
+    int ch_code = (int)br.Read(4);
+    int ss_code = (int)br.Read(3);
+    br.Read(1);  // reserved
+    uint64_t num;
+    if (!ReadUtf8Num(br, &num)) {
+      r.error = std::string(path) + ": bad FLAC frame number";
+      return r;
+    }
+    int blocksize;
+    if (bs_code == 0) {
+      r.error = std::string(path) + ": reserved FLAC blocksize";
+      return r;
+    } else if (bs_code == 6) {
+      blocksize = (int)br.Read(8) + 1;
+    } else if (bs_code == 7) {
+      blocksize = (int)br.Read(16) + 1;
+    } else {
+      blocksize = kBlockSizes[bs_code];
+    }
+    if (sr_code == 12)
+      br.Read(8);
+    else if (sr_code == 13 || sr_code == 14)
+      br.Read(16);
+    else if (sr_code == 15) {
+      r.error = std::string(path) + ": invalid FLAC sample-rate code";
+      return r;
+    }
+    int fbps = ss_code == 0 ? bps : kSampleSizes[ss_code];
+    size_t hdr_end = br.BytePos();
+    if (Crc8(br.data + frame_start, hdr_end - frame_start) != br.Read(8)) {
+      r.error = std::string(path) + ": FLAC header CRC mismatch";
+      return r;
+    }
+    int fch = ch_code < 8 ? ch_code + 1 : 2;
+    for (int c = 0; c < fch; ++c) {
+      int b = fbps;
+      if ((ch_code == 8 && c == 1) || (ch_code == 9 && c == 0) ||
+          (ch_code == 10 && c == 1))
+        b += 1;
+      if (ch_code > 10) {
+        r.error = std::string(path) + ": reserved FLAC channel mode";
+        return r;
+      }
+      if (!DecodeSubframe(br, blocksize, b, &chans[c])) {
+        r.error = std::string(path) + ": FLAC subframe decode failed";
+        return r;
+      }
+    }
+    br.Align();
+    size_t frame_end = br.BytePos();
+    uint16_t crc = (uint16_t)br.Read(16);
+    if (!br.ok ||
+        Crc16(br.data + frame_start, frame_end - frame_start) != crc) {
+      r.error = std::string(path) + ": FLAC frame CRC mismatch";
+      return r;
+    }
+    // stereo decorrelation -> independent channels
+    if (ch_code == 8) {  // left/side
+      for (int i = 0; i < blocksize; ++i) chans[1][i] =
+          chans[0][i] - chans[1][i];
+    } else if (ch_code == 9) {  // side/right
+      for (int i = 0; i < blocksize; ++i) chans[0][i] =
+          chans[0][i] + chans[1][i];
+    } else if (ch_code == 10) {  // mid/side
+      for (int i = 0; i < blocksize; ++i) {
+        int64_t mid2 = (chans[0][i] << 1) | (chans[1][i] & 1);
+        int64_t side = chans[1][i];
+        chans[0][i] = (mid2 + side) >> 1;
+        chans[1][i] = (mid2 - side) >> 1;
+      }
+    }
+    double scale = 1.0 / (double)((int64_t)1 << (fbps - 1));
+    for (int i = 0; i < blocksize; ++i) {
+      double acc = 0.0;
+      for (int c = 0; c < fch; ++c) acc += (double)chans[c][i];
+      mono.push_back(acc / fch * scale);
+    }
+  }
+  if (total && mono.size() > total) mono.resize(total);
+  size_t n_frames = mono.size();
+  size_t f0 = 0, f1 = n_frames;
+  if (start_s >= 0.0) f0 = (size_t)(start_s * rate);
+  if (end_s >= 0.0) f1 = (size_t)(end_s * rate);
+  if (f1 > n_frames) f1 = n_frames;
+  if (f0 > f1) f0 = f1;
+  r.sample_rate = (int32_t)rate;
+  r.samples.resize(f1 - f0);
+  for (size_t i = f0; i < f1; ++i) r.samples[i - f0] = (float)mono[i];
+  return r;
+}
+
+// Magic-byte dispatch: RIFF/WAVE -> DecodeWav, fLaC -> DecodeFlac.
+WavResult DecodeAudio(const char* path, double start_s, double end_s) {
+  FILE* f = fopen(path, "rb");
+  if (!f) {
+    WavResult r;
+    r.error = std::string("cannot open ") + path;
+    return r;
+  }
+  char magic[4] = {0};
+  size_t got = fread(magic, 1, 4, f);
+  if (got == 4 && !memcmp(magic, "fLaC", 4)) {
+    fseek(f, 0, SEEK_END);
+    long size = ftell(f);
+    fseek(f, 0, SEEK_SET);
+    std::vector<uint8_t> buf((size_t)size);
+    bool ok = ReadFileRange(f, buf.data(), buf.size());
+    fclose(f);
+    if (!ok) {
+      WavResult r;
+      r.error = std::string(path) + ": short read";
+      return r;
+    }
+    return DecodeFlac(buf, path, start_s, end_s);
+  }
+  fclose(f);
+  return DecodeWav(path, start_s, end_s);
+}
+
 }  // namespace
 
 extern "C" {
 
 // Single-file probe: returns 0 on success; fills *n_samples/*rate.
 int oet_wav_info(const char* path, int64_t* n_samples, int32_t* rate) {
-  WavResult r = DecodeWav(path, -1.0, -1.0);
+  WavResult r = DecodeAudio(path, -1.0, -1.0);
   if (!r.error.empty()) return 1;
   *n_samples = (int64_t)r.samples.size();
   *rate = r.sample_rate;
@@ -152,7 +499,7 @@ int oet_read_wav_batch(const char** paths, const double* starts,
     while (true) {
       int i = next.fetch_add(1);
       if (i >= n) break;
-      WavResult r = DecodeWav(paths[i], starts[i], ends[i]);
+      WavResult r = DecodeAudio(paths[i], starts[i], ends[i]);
       if (!r.error.empty()) {
         out_lens[i] = 0;
         out_rates[i] = 0;

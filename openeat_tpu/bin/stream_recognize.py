@@ -16,7 +16,7 @@ import time
 import numpy as np
 
 from openeat_tpu.bin.recognize import load_model
-from openeat_tpu.dataset.audio import read_wav, resample
+from openeat_tpu.dataset.audio import read_audio, resample
 from openeat_tpu.dataset.manifest import parse_manifest, parse_wav_entry
 from openeat_tpu.dataset.text import load_dict, token_ids_to_text
 from openeat_tpu.decode.streaming import StreamingRecognizer
@@ -53,7 +53,7 @@ def main(argv=None):
     with open(args.result_file, "w", encoding="utf-8") as fout:
         for u in utts:
             path, start, end = parse_wav_entry(u.path)
-            wav, rate = read_wav(path, start, end)
+            wav, rate = read_audio(path, start, end)
             if rate != args.sample_rate:
                 wav = resample(wav, rate, args.sample_rate)
             wav = wav * 32768.0

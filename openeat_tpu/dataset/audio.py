@@ -86,6 +86,21 @@ def read_wav(path: str, start_s: float | None = None,
     return np.ascontiguousarray(x), rate
 
 
+def read_audio(path: str, start_s: float | None = None,
+               end_s: float | None = None) -> tuple[np.ndarray, int]:
+    """Format-dispatched read: RIFF/WAVE or FLAC by magic bytes.
+
+    Replaces the reference's sox any-format load
+    (reference dataset.py:62-72) for the two formats ASR corpora
+    actually ship in (AIShell: WAV, LibriSpeech: FLAC)."""
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic == b"fLaC":
+        from openeat_tpu.dataset.flac import read_flac
+        return read_flac(path, start_s, end_s)
+    return read_wav(path, start_s, end_s)
+
+
 def write_wav(path: str, x: np.ndarray, rate: int) -> None:
     """Write mono float32 [-1,1] as 16-bit PCM (test fixtures, tools)."""
     pcm = np.clip(x * 32768.0, -32768, 32767).astype("<i2")

@@ -126,7 +126,7 @@ class AudioCollate:
                             raise IOError("native decode failed")
                     else:
                         path, start, end = parse_wav_entry(u.path)
-                        x, rate = audio_lib.read_wav(path, start, end)
+                        x, rate = audio_lib.read_audio(path, start, end)
                         x = x * 32768.0  # reference dataset.py:75
                         if rate != self.resample_rate:
                             x = audio_lib.resample(x, rate,

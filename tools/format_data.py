@@ -26,9 +26,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
 
 
 def wav_duration(path: str) -> float:
-    """Duration in seconds from the RIFF header (PCM/float)."""
+    """Duration in seconds from the header only: RIFF `data` chunk size
+    or FLAC STREAMINFO total-samples (no PCM decode either way)."""
     with open(path, "rb") as f:
         riff = f.read(12)
+        if riff[:4] == b"fLaC":
+            f.seek(4)
+            si = f.read(4 + 34)  # first block header + STREAMINFO
+            if (si[0] & 0x7F) != 0:
+                raise ValueError(f"{path}: FLAC without leading STREAMINFO")
+            s = si[4:]
+            rate = (s[10] << 12) | (s[11] << 4) | (s[12] >> 4)
+            total = ((s[13] & 0x0F) << 32) | int.from_bytes(s[14:18], "big")
+            if rate == 0 or total == 0:
+                raise ValueError(f"{path}: FLAC missing rate/total samples")
+            return total / rate
         if riff[:4] != b"RIFF":
             raise ValueError(f"{path}: not RIFF")
         rate = None
