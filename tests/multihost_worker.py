@@ -1,0 +1,122 @@
+"""Worker script for the 2-process multi-host CPU test.
+
+Each process owns 2 virtual CPU devices (4 global), initializes the
+jax.distributed runtime over localhost (gloo CPU collectives), builds
+the same dp=4 mesh, shards its local half of the global batch with
+PrefetchLoader(shard_id/num_shards) + DeviceFeeder's
+make_array_from_process_local_data path, and runs 2 sharded train steps.
+Prints one JSON line with the per-step losses and the global batch
+fingerprint so the parent can assert cross-process agreement.
+
+Mirrors the reference's DDP rendezvous + DistributedSampler semantics
+(reference openeat/bin/train_ddp.py:127-134,268).
+"""
+
+import json
+import os
+import sys
+
+
+def main():
+    process_id = int(sys.argv[1])
+    num_processes = int(sys.argv[2])
+    coordinator = sys.argv[3]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["PALLAS_AXON_POOL_IPS"] = ""
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=2").strip()
+
+    import jax
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id,
+                               local_device_ids=[0, 1])
+    assert jax.process_count() == num_processes
+    assert jax.local_device_count() == 2
+
+    import numpy as np
+
+    from openeat_tpu.ops.frontend import FrontendConfig
+    from openeat_tpu.parallel import mesh as mesh_lib
+    from openeat_tpu.parallel.train_step import (TrainState,
+                                                 build_train_step,
+                                                 init_state)
+    from openeat_tpu.pipeline import DeviceFeeder
+    from openeat_tpu.utils.optim import build_optimizer
+
+    mesh = mesh_lib.make_mesh(data=4, model=1)
+    model = _tiny_model()
+
+    # deterministic synthetic per-utterance waveforms: utterance i is
+    # derived from seed i, so both processes can predict the GLOBAL batch
+    rng = np.random.default_rng(0)
+    n_utts, wav_len, tgt_len, vocab = 8, 3200, 4, 32
+    wavs = rng.standard_normal((n_utts, wav_len)).astype(np.float32) * 100
+    tgts = rng.integers(1, vocab - 1, (n_utts, tgt_len)).astype(np.int32)
+
+    # fake loader: 2 global batches of 4 utts; each process contributes
+    # its round-robin half via the PrefetchLoader sharding convention
+    class _Loader:
+        def __iter__(self):
+            order = np.arange(4)  # batch index order, same on both procs
+            shard = order[process_id::num_processes]
+            for b in shard:
+                idx = np.arange(2) + 2 * b  # 2 utts per LOCAL batch
+                yield ([f"u{i}" for i in idx], {
+                    "wav": wavs[idx],
+                    "wav_lens": np.full(2, wav_len, np.int64),
+                    "targets": tgts[idx],
+                    "targets_length": np.full(2, tgt_len, np.int32),
+                })
+
+        def __len__(self):
+            return 2
+
+    feeder = DeviceFeeder(_Loader(), FrontendConfig(num_mel_bins=16),
+                          mesh=mesh, train=False)
+    batches = list(feeder)
+
+    import jax.numpy as jnp
+    _, b0 = batches[0]
+    # global batch fingerprint: full-gather the features and hash —
+    # both processes must see the SAME assembled global array
+    feats = jax.device_get(
+        jax.jit(lambda x: x,
+                out_shardings=mesh_lib.replicated(mesh))(b0["features"]))
+    fingerprint = float(np.abs(feats).sum())
+
+    tx, _ = build_optimizer(1e-3, 10)
+    state = init_state(model, tx, b0)
+    pshard = mesh_lib.param_shardings(state.params, mesh)
+    shardings = TrainState(
+        pshard,
+        jax.tree.map(lambda _: mesh_lib.replicated(mesh), state.opt_state),
+        mesh_lib.replicated(mesh))
+    state = jax.device_put(state, shardings)
+    step = jax.jit(build_train_step(model, tx), donate_argnums=(0,))
+    losses = []
+    for i, (_, batch) in enumerate(batches):
+        state, metrics = step(state, batch, jax.random.PRNGKey(7 + i))
+        losses.append(float(metrics["loss"]))
+    print(json.dumps({"process": process_id, "losses": losses,
+                      "fingerprint": fingerprint,
+                      "batches": len(batches)}), flush=True)
+    jax.distributed.shutdown()
+
+
+def _tiny_model():
+    from openeat_tpu.models.asr_model import ASRModel
+    import jax.numpy as jnp
+    return ASRModel(input_size=16, vocab_size=32, encoder_num_blocks=1,
+                    decoder_num_blocks=1, r_decoder_num_blocks=0,
+                    d_model=16, attention_heads=2, linear_units=32,
+                    input_layer="linear", pos_enc_layer_type="abs_pos",
+                    macaron_style=False, use_cnn_module=False,
+                    ctc_weight=0.3, dropout_rate=0.0,
+                    compute_dtype=jnp.float32)
+
+
+if __name__ == "__main__":
+    main()
