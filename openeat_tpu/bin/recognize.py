@@ -139,8 +139,8 @@ def main(argv=None):
         def lm_logp_fn(tokens, lens):
             return lm.apply(lm_params, tokens, lens, method=lm_method)
     elif args.lm_weight > 0 and args.ngram_lm:
-        from openeat_tpu.lm.ngram import ArpaLM
-        ngram = ArpaLM.load(args.ngram_lm)
+        from openeat_tpu.lm.ngram import load_lm
+        ngram = load_lm(args.ngram_lm)
 
     encode = jax.jit(lambda f, l: model.apply(params, f, l,
                                               method=ASRModel.encode))

@@ -1,5 +1,6 @@
 """Language model tests: AR/masked losses, fusion scoring, ARPA n-gram."""
 
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -93,3 +94,80 @@ ngram 2=3
     np.testing.assert_allclose(got, want, rtol=1e-6)
     # OOV hits <unk>
     assert lm.score("XYZ", bos=False, eos=False) == -2.0
+
+
+ARPA_TEXT = """\\data\\
+ngram 1=5
+ngram 2=3
+
+\\1-grams:
+-1.0\t<s>\t-0.5
+-1.2\t</s>
+-0.8\tHELLO\t-0.3
+-0.9\tWORLD\t-0.4
+-2.0\t<unk>
+
+\\2-grams:
+-0.2\t<s> HELLO
+-0.3\tHELLO WORLD
+-0.4\tWORLD </s>
+
+\\end\\
+"""
+
+
+def test_binary_lm_matches_arpa(tmp_path):
+    """The mmap binary format must score identically to the source ARPA
+    (tools/build_binary_lm.py is the kenlm build_binary analog)."""
+    from openeat_tpu.lm.ngram import BinaryNgramLM, load_lm
+    arpa = tmp_path / "lm.arpa"
+    arpa.write_text(ARPA_TEXT)
+    lm = ArpaLM.load(str(arpa))
+    binp = str(tmp_path / "lm.bin")
+    lm.save_binary(binp)
+    blm = load_lm(binp)
+    assert isinstance(blm, BinaryNgramLM)
+    assert blm.order == lm.order
+    for sent, kw in [("HELLO WORLD", {}),
+                     ("WORLD HELLO", dict(bos=False, eos=False)),
+                     ("XYZ", dict(bos=False, eos=False)),
+                     ("HELLO HELLO WORLD XYZ WORLD", {})]:
+        np.testing.assert_allclose(blm.score(sent, **kw),
+                                   lm.score(sent, **kw), rtol=1e-6)
+
+
+def test_load_lm_dispatch(tmp_path):
+    import gzip as _gzip
+
+    import pytest
+
+    from openeat_tpu.lm.ngram import load_lm
+    arpa = tmp_path / "lm.arpa"
+    arpa.write_text(ARPA_TEXT)
+    assert isinstance(load_lm(str(arpa)), ArpaLM)
+    gz = tmp_path / "lm.arpa.gz"
+    with _gzip.open(gz, "wt") as f:
+        f.write(ARPA_TEXT)
+    assert isinstance(load_lm(str(gz)), ArpaLM)
+    # kenlm binaries require the kenlm package -> actionable error
+    klm = tmp_path / "lm.klm"
+    klm.write_bytes(b"mmap lm http://kheafield.com/code format version 5\n"
+                    + b"\x00" * 64)
+    with pytest.raises(ValueError, match="kenlm"):
+        load_lm(str(klm))
+
+
+def test_build_binary_lm_cli(tmp_path):
+    import subprocess
+    import sys
+
+    from openeat_tpu.lm.ngram import load_lm
+    arpa = tmp_path / "lm.arpa"
+    arpa.write_text(ARPA_TEXT)
+    out = str(tmp_path / "lm.bin")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run([sys.executable,
+                    os.path.join(repo, "tools/build_binary_lm.py"),
+                    str(arpa), out], check=True)
+    blm = load_lm(out)
+    np.testing.assert_allclose(blm.score("HELLO WORLD"), -0.9, rtol=1e-6)
