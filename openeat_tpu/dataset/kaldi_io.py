@@ -13,6 +13,13 @@ spec:
   column with 3-segment linear interpolation (breaks at 64/192);
 - 'CM2': format 2 — uint16 per element over the global [min, min+range]
   span.
+
+The compressed-format reading (header layout, 1/65535 uint16 scale,
+64/192 segment breaks) is pinned by hand-assembled golden entries with
+expected values computed from the kaldi source formulas
+(tests/test_dataset.py::test_kaldi_cm_golden_handassembled) — no kaldi
+binary exists offline to produce a real fixture, so the goldens are the
+strongest available cross-check beyond same-author roundtrips.
 """
 
 from __future__ import annotations
