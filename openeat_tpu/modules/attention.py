@@ -23,6 +23,29 @@ import jax.numpy as jnp
 
 NEG_INF = -1.0e9
 
+# Fused rel-pos scores: compute (q+u)k^T + (q+v)p^T as ONE einsum over a
+# concatenated 2*d_k contraction ([q+u ; q+v] . [k ; p]). On the v5e MXU
+# the d_k=64 contraction underfills the 128-wide systolic array; fusing
+# doubles it to 128 and halves the number of score matmuls. Toggled by
+# benchmarks/attn_fusion_bench.py; exact-equivalence is tested in
+# tests/test_model.py::test_relpos_fused_scores_match.
+FUSED_RELPOS_SCORES = True
+
+
+def _relpos_scores(q_u, q_v, k, p):
+    """[B,Tq,H,D]x2, k [B,Tk,H,D], p [1|B,Tk,H,D] -> [B,H,Tq,Tk] f32."""
+    if FUSED_RELPOS_SCORES:
+        q2 = jnp.concatenate([q_u, q_v], axis=-1)
+        p_b = jnp.broadcast_to(p, k.shape) if p.shape[0] != k.shape[0] else p
+        k2 = jnp.concatenate([k, p_b.astype(k.dtype)], axis=-1)
+        return jnp.einsum("bqhd,bkhd->bhqk", q2, k2,
+                          preferred_element_type=jnp.float32)
+    ac = jnp.einsum("bqhd,bkhd->bhqk", q_u, k,
+                    preferred_element_type=jnp.float32)
+    bd = jnp.einsum("bqhd,pkhd->bhqk", q_v, p,
+                    preferred_element_type=jnp.float32)
+    return ac + bd
+
 
 def _attend(q: jax.Array, k: jax.Array, v: jax.Array,
             scores_extra: Optional[jax.Array],
@@ -142,15 +165,9 @@ class RelPositionMultiHeadedAttention(nn.Module):
         p = split(self.linear_pos(pos_emb.astype(query.dtype)))  # [1|B,T2,H,D]
         u = self.pos_bias_u.astype(q.dtype)
         vb = self.pos_bias_v.astype(q.dtype)
-        # matrix (a+c): content scores with bias u — folded into one einsum
-        q_u = q + u[None, None]
-        q_v = q + vb[None, None]
-        matrix_ac = jnp.einsum("bqhd,bkhd->bhqk", q_u, k,
-                               preferred_element_type=jnp.float32)
-        matrix_bd = jnp.einsum("bqhd,pkhd->bhqk", q_v, p,
-                               preferred_element_type=jnp.float32)
-        scores = (matrix_ac + matrix_bd)
-        # reuse the shared path with precomputed scores
+        # scores = (q+u)k^T + (q+v)p^T (matrix_ac + matrix_bd), computed
+        # fused or as two einsums per FUSED_RELPOS_SCORES
+        scores = _relpos_scores(q + u[None, None], q + vb[None, None], k, p)
         scale = self.d_k ** -0.5
         scores = scores * scale
         if mask is not None:
@@ -184,11 +201,8 @@ class RelPositionMultiHeadedAttention(nn.Module):
         p = split(self.linear_pos(pos_emb.astype(x.dtype)))
         u = self.pos_bias_u.astype(q.dtype)
         vb = self.pos_bias_v.astype(q.dtype)
-        ac = jnp.einsum("bqhd,bkhd->bhqk", q + u[None, None], k,
-                        preferred_element_type=jnp.float32)
-        bd = jnp.einsum("bqhd,pkhd->bhqk", q + vb[None, None], p,
-                        preferred_element_type=jnp.float32)
-        scores = (ac + bd) * (self.d_k ** -0.5)
+        scores = _relpos_scores(q + u[None, None], q + vb[None, None],
+                                k, p) * (self.d_k ** -0.5)
         m = kv_mask[:, None, :, :]
         scores = jnp.where(m, scores, NEG_INF)
         attn = jnp.where(m, jax.nn.softmax(scores, axis=-1), 0.0)

@@ -178,3 +178,31 @@ def test_tied_embedding(rng):
     assert not any("output_layer" in k for k in flat)
     m = model.apply(params, *batch)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_relpos_fused_scores_match(rng):
+    """FUSED_RELPOS_SCORES=True must be numerically identical to the
+    two-einsum path (same params, same inputs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from openeat_tpu.modules import attention as attn_mod
+    from openeat_tpu.modules.attention import RelPositionMultiHeadedAttention
+
+    b, t, d, h = 3, 17, 32, 4
+    m = RelPositionMultiHeadedAttention(num_heads=h, d_model=d,
+                                        dropout_rate=0.0)
+    x = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+    pos = jnp.asarray(rng.standard_normal((1, t, d)), jnp.float32)
+    mask = jnp.asarray(rng.random((b, 1, t)) > 0.2)
+    params = m.init(jax.random.PRNGKey(0), x, x, x, mask, pos)
+    old = attn_mod.FUSED_RELPOS_SCORES
+    try:
+        attn_mod.FUSED_RELPOS_SCORES = True
+        y_fused = m.apply(params, x, x, x, mask, pos)
+        attn_mod.FUSED_RELPOS_SCORES = False
+        y_two = m.apply(params, x, x, x, mask, pos)
+    finally:
+        attn_mod.FUSED_RELPOS_SCORES = old
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_two),
+                               atol=1e-5, rtol=1e-5)
