@@ -70,43 +70,71 @@ class BPEModel:
 def train_bpe(lines: Iterable[str], vocab_size: int = 1000) -> BPEModel:
     """Learn BPE merges from an iterable of text lines.
 
-    Standard BPE: start from characters (words prefixed with ▁), merge
-    the most frequent adjacent pair until vocab_size symbols exist.
+    Standard BPE (characters up, ▁-prefixed words) with INCREMENTAL
+    pair-count maintenance: a pair->word index plus a lazy max-heap, so
+    each merge touches only the words containing the merged pair
+    (~O(corpus · avg_piece_len) total) instead of re-counting the whole
+    corpus per merge — the round-1 O(V·corpus) trainer made the
+    reference's librispeech BPE-5k workflows impractical. Ties break
+    lexicographically for determinism.
     """
+    import heapq
+
     word_freq = collections.Counter()
     for line in lines:
         for w in line.strip().upper().split():
             word_freq[w] += 1
-    # words as tuples of symbols
-    words = {w: tuple([WORD_BOUNDARY + w[0]] + list(w[1:]))
-             for w in word_freq}
+    words: list[list[str]] = []   # symbol sequences
+    freqs: list[int] = []
+    for w, f in word_freq.items():
+        words.append([WORD_BOUNDARY + w[0]] + list(w[1:]))
+        freqs.append(f)
     symbols = set()
-    for t in words.values():
+    for t in words:
         symbols.update(t)
+
+    pair_counts: collections.Counter = collections.Counter()
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for wi, t in enumerate(words):
+        f = freqs[wi]
+        for i in range(len(t) - 1):
+            p = (t[i], t[i + 1])
+            pair_counts[p] += f
+            pair_words.setdefault(p, set()).add(wi)
+
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    def push(p):
+        heapq.heappush(heap, (-pair_counts[p], p))
+
     merges: list[tuple[str, str]] = []
-
-    def pair_counts():
-        pc = collections.Counter()
-        for w, freq in word_freq.items():
-            t = words[w]
-            for i in range(len(t) - 1):
-                pc[(t[i], t[i + 1])] += freq
-        return pc
-
-    while len(symbols) + len(merges) < vocab_size:
-        pc = pair_counts()
-        if not pc:
-            break
-        (a, b), cnt = pc.most_common(1)[0]
+    while len(symbols) + len(merges) < vocab_size and heap:
+        negc, pair = heapq.heappop(heap)
+        cnt = pair_counts.get(pair, 0)
+        if cnt != -negc:          # stale heap entry
+            if cnt > 0:
+                push(pair)
+            continue
         if cnt < 2:
             break
-        merges.append((a, b))
+        a, b = pair
+        merges.append(pair)
         merged = a + b
         symbols.add(merged)
-        for w in list(words):
-            t = words[w]
-            if a not in t:
-                continue
+        touched: set[tuple[str, str]] = set()
+        for wi in list(pair_words.get(pair, ())):
+            t = words[wi]
+            f = freqs[wi]
+            # remove old pair contributions of this word
+            for i in range(len(t) - 1):
+                p = (t[i], t[i + 1])
+                pair_counts[p] -= f
+                touched.add(p)
+                s = pair_words.get(p)
+                if s is not None:
+                    s.discard(wi)
+            # apply the merge
             out = []
             i = 0
             while i < len(t):
@@ -116,7 +144,22 @@ def train_bpe(lines: Iterable[str], vocab_size: int = 1000) -> BPEModel:
                 else:
                     out.append(t[i])
                     i += 1
-            words[w] = tuple(out)
+            words[wi] = out
+            # add new pair contributions
+            for i in range(len(out) - 1):
+                p = (out[i], out[i + 1])
+                pair_counts[p] += f
+                touched.add(p)
+                pair_words.setdefault(p, set()).add(wi)
+        pair_counts.pop(pair, None)
+        pair_words.pop(pair, None)
+        touched.discard(pair)
+        for p in touched:
+            if pair_counts.get(p, 0) <= 0:
+                pair_counts.pop(p, None)
+                pair_words.pop(p, None)
+            else:
+                push(p)
     vocab = sorted(symbols)
     return BPEModel(merges, vocab)
 
