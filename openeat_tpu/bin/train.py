@@ -30,8 +30,7 @@ from openeat_tpu.models.asr_model import build_asr_model
 from openeat_tpu.ops.frontend import FrontendConfig
 from openeat_tpu.parallel import mesh as mesh_lib
 from openeat_tpu.parallel.train_step import (TrainState, build_eval_step,
-                                             build_train_step, init_state,
-                                             shard_and_jit)
+                                             build_train_step, init_params)
 from openeat_tpu.pipeline import DeviceFeeder
 from openeat_tpu.utils import checkpoint as ckpt_lib
 from openeat_tpu.utils.common import init_logger
@@ -186,15 +185,15 @@ def main(argv=None):
     feeder_probe = DeviceFeeder([(example_keys, example_host)], frontend,
                                 mesh=None, train=False)
     _, example_batch = next(iter(feeder_probe))
-    tmp_params = model.init(
-        jax.random.PRNGKey(train_cfg.seed), example_batch["features"],
-        example_batch["features_length"], example_batch["targets"],
-        example_batch["targets_length"])
+    # single jitted init; the same params feed the optimizer's freeze
+    # masks (round-1 initialized twice, eagerly — minutes of per-op
+    # dispatches on the remote-compile tunnel)
+    params0 = init_params(model, example_batch, train_cfg.seed)
     tx, schedule = build_optimizer(train_cfg.lr, warmup_steps,
-                                   train_cfg.optim, tmp_params,
+                                   train_cfg.optim, params0,
                                    only_adapter=args.only_adapter)
-    state = init_state(model, tx, example_batch, train_cfg.seed)
-    del tmp_params
+    state = TrainState(params0, tx.init(params0),
+                       jax.numpy.zeros((), jax.numpy.int32))
 
     # cmvn stats
     if args.cmvn_file:

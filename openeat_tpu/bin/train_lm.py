@@ -80,7 +80,8 @@ def main(argv=None):
                  jnp.asarray(example["tokens_length"]),
                  jnp.asarray(example["masked_targets"])
                  if "masked_targets" in example else None)
-    params = model.init(jax.random.PRNGKey(train_cfg.seed), *init_args)
+    params = jax.jit(model.init)(jax.random.PRNGKey(train_cfg.seed),
+                                 *init_args)
     steps_per_epoch = max(len(train_ds), 1)
     warmup = (train_cfg.warmup_steps if train_cfg.warmup_steps
               else int(train_cfg.warmup_epoch * steps_per_epoch))

@@ -124,11 +124,18 @@ def shard_and_jit(fn, mesh, state_shardings, batch_shardings,
     )
 
 
-def init_state(model, tx, example_batch, seed: int = 777,
-               frozen_mask=None) -> TrainState:
-    params = model.init(
+def init_params(model, example_batch, seed: int = 777):
+    """Jitted model.init — ONE compiled program instead of thousands of
+    eager per-op dispatches (a 10x+ startup win on remote-compile
+    backends like the tunneled TPU)."""
+    return jax.jit(model.init)(
         jax.random.PRNGKey(seed),
         example_batch["features"], example_batch["features_length"],
         example_batch["targets"], example_batch["targets_length"])
+
+
+def init_state(model, tx, example_batch, seed: int = 777,
+               frozen_mask=None) -> TrainState:
+    params = init_params(model, example_batch, seed)
     opt_state = tx.init(params)
     return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
