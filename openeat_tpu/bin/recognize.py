@@ -121,7 +121,12 @@ def main(argv=None):
     frontend = FrontendConfig.from_collate_conf(
         collate_conf).without_augmentation()
     loader = PrefetchLoader(test_ds, collate, num_workers=4)
-    feeder = DeviceFeeder(loader, frontend, mesh=None, train=False)
+    # pad the ragged last batch up to batch_size (repeated utterances;
+    # keys are not padded so extra rows are never written) — keeps the
+    # decode-program shape count bounded instead of recompiling for the
+    # remainder batch
+    feeder = DeviceFeeder(loader, frontend, mesh=None, train=False,
+                          pad_batch_multiple=args.batch_size)
 
     # optional LM
     lm_logp_fn = None
