@@ -15,7 +15,6 @@ the feeder prefetches the next batch while the step runs.
 from __future__ import annotations
 
 import logging
-import math
 import time
 from typing import Any, Callable, Iterable
 
@@ -105,18 +104,26 @@ class Executor:
 
     def cv(self, params, batches: Iterable[dict], epoch: int = 0) -> dict:
         """No-grad eval loop (reference executor.py:79-113), weighted by
-        batch size like the reference's num_seen_utts accumulation."""
-        tot_loss, tot_acc, n_utts = 0.0, 0.0, 0
+        batch size like the reference's num_seen_utts accumulation.
+        Sums run device-side (one host sync at the end, not per batch)."""
+        jnp = jax.numpy
+        run_loss, run_acc, n_utts, n_batches = 0.0, 0.0, 0.0, 0
         for i, batch in enumerate(batches):
-            metrics = jax.device_get(self.eval_step(params, batch))
-            loss = float(metrics["loss"])
-            bsz = int(np.asarray(batch["features_length"]).shape[0])
-            if math.isfinite(loss):
-                tot_loss += loss * bsz
-                tot_acc += float(metrics.get("acc", 0.0)) * bsz
-                n_utts += bsz
+            metrics = self.eval_step(params, batch)
+            bsz = int(np.prod(np.asarray(
+                batch["features_length"].shape)))  # [B] or [accum, B]
+            loss = metrics["loss"]
+            ok = jnp.isfinite(loss)
+            run_loss = run_loss + jnp.where(ok, loss, 0.0) * bsz
+            run_acc = run_acc + jnp.where(ok, metrics.get("acc", 0.0),
+                                          0.0) * bsz
+            n_utts = n_utts + ok * bsz
+            n_batches += 1
             if (i + 1) % self.log_interval == 0:
                 self.logger.info("cv epoch %d batch %d loss %.4f", epoch,
-                                 i + 1, loss)
-        return {"cv_loss": tot_loss / max(n_utts, 1),
-                "cv_acc": tot_acc / max(n_utts, 1)}
+                                 i + 1, float(loss))
+        if n_batches:
+            run_loss, run_acc, n_utts = map(
+                float, jax.device_get((run_loss, run_acc, n_utts)))
+        return {"cv_loss": run_loss / max(n_utts, 1),
+                "cv_acc": run_acc / max(n_utts, 1)}
