@@ -36,8 +36,8 @@ if [ ! -f data/train/format.data ]; then
   done
 fi
 
-if [ ! -f "$exp_dir/epoch_12" ] && [ ! -d "$exp_dir/epoch_12" ]; then
-  echo "=== stage 2: train (12 epochs, static 256-utt batches) ==="
+if [ ! -d "$exp_dir/epoch_30" ]; then
+  echo "=== stage 2: train (30 epochs, static 256-utt batches) ==="
   python - <<PY
 # derive the synth config from the flagship TPU conf: static batching
 # (bounded compile-shape count on the remote-compile tunnel), epochs and
@@ -46,9 +46,12 @@ import yaml
 cfg = yaml.safe_load(open("$repo_root/examples/aishell/conf/train_conformer_tpu.yaml"))
 cfg["dataset_conf"].update(batch_type="static", batch_size=256,
                            max_length=400, min_length=10)
-cfg["max_epoch"] = 12
-cfg["warmup_epoch"] = 2
-cfg["optim_conf"]["lr"] = 0.0015
+# SpecAug re-scaled for ~1.2 s utterances (the AIShell conf's 3x50-frame
+# time masks would erase most of a 120-frame utterance)
+cfg["collate_conf"]["spec_aug_conf"].update(num_t_mask=2, max_t=15)
+cfg["max_epoch"] = 30
+cfg["warmup_epoch"] = 3
+cfg["optim_conf"]["lr"] = 0.002
 cfg["log_interval"] = 10
 yaml.safe_dump(cfg, open("$work/conf_synth.yaml", "w"), sort_keys=False)
 PY
