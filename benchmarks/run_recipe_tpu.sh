@@ -59,12 +59,21 @@ cfg["optim_conf"]["lr"] = 0.0015
 cfg["log_interval"] = 40
 yaml.safe_dump(cfg, open("$work/conf_synth.yaml", "w"), sort_keys=False)
 PY
+  # resume from the newest epoch checkpoint if a previous run was
+  # interrupted (train.py --checkpoint restores params + optimizer)
+  resume=()
+  last=$(ls -d "$exp_dir"/epoch_* 2>/dev/null | sed 's/.*epoch_//' |
+         sort -n | tail -1 || true)
+  if [ -n "${last:-}" ]; then
+    echo "resuming from epoch_$last"
+    resume=(--checkpoint "$exp_dir/epoch_$last")
+  fi
   python -m openeat_tpu.bin.train \
     --config "$work/conf_synth.yaml" \
     --train_data data/train/format.data \
     --cv_data data/dev/format.data \
     --dict data/dict.txt \
-    --exp_dir "$exp_dir"
+    --exp_dir "$exp_dir" "${resume[@]}"
 fi
 
 echo "=== stage 3: average best-$average_num ==="
