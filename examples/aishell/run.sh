@@ -10,11 +10,13 @@ stage=0
 stop_stage=4
 data=/export/data/aishell        # corpus root (wav/ + transcript/)
 exp_dir=exp/conformer
-config=conf/train_conformer.yaml
+script_dir="$(cd "$(dirname "$0")" && pwd)"
+config=$script_dir/conf/train_conformer.yaml
 beam_size=10
 ctc_weight=0.5
 reverse_weight=0.3
 average_num=5
+decode_modes="ctc_greedy_search ctc_prefix_beam_search attention attention_rescoring"
 repo_root="$(cd "$(dirname "$0")/../.." && pwd)"
 export PYTHONPATH="$repo_root:${PYTHONPATH:-}"
 
@@ -26,7 +28,7 @@ fi
 
 if [ $stage -le 0 ] && [ $stop_stage -ge 0 ]; then
   echo "stage 0: data prep"
-  python local/aishell_data_prep.py \
+  python "$script_dir/local/aishell_data_prep.py" \
     "$data/wav" "$data/transcript/aishell_transcript_v0.8.txt" data
 fi
 
@@ -57,8 +59,7 @@ fi
 
 if [ $stage -le 4 ] && [ $stop_stage -ge 4 ]; then
   echo "stage 4: decode + CER"
-  for mode in ctc_greedy_search ctc_prefix_beam_search attention \
-      attention_rescoring; do
+  for mode in $decode_modes; do
     python -m openeat_tpu.bin.recognize \
       --config "$exp_dir/train.yaml" \
       --checkpoint "$exp_dir/avg_best${average_num}" \

@@ -12,7 +12,8 @@ set -euo pipefail
 stage=1
 stop_stage=4
 exp_dir=exp/cs_conformer
-config=conf/train_conformer.yaml
+script_dir="$(cd "$(dirname "$0")" && pwd)"
+config=$script_dir/conf/train_conformer.yaml
 pretrained=             # converted WeNet checkpoint dir (convert_wenet)
 only_adapter=false
 beam_size=10

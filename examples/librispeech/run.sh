@@ -12,7 +12,8 @@ set -euo pipefail
 stage=1
 stop_stage=4
 exp_dir=exp/conformer
-config=conf/train_conformer.yaml
+script_dir="$(cd "$(dirname "$0")" && pwd)"
+config=$script_dir/conf/train_conformer.yaml
 bpe_size=1000
 beam_size=10
 ctc_weight=0.5
@@ -21,6 +22,7 @@ average_num=5
 train_set=train_960
 dev_set=dev
 test_sets="test_clean test_other"
+decode_modes="ctc_greedy_search attention_rescoring"
 repo_root="$(cd "$(dirname "$0")/../.." && pwd)"
 export PYTHONPATH="$repo_root:${PYTHONPATH:-}"
 
@@ -56,7 +58,7 @@ fi
 
 if [ $stage -le 4 ] && [ $stop_stage -ge 4 ]; then
   for tset in $test_sets; do
-    for mode in ctc_greedy_search attention_rescoring; do
+    for mode in $decode_modes; do
       python -m openeat_tpu.bin.recognize \
         --config "$exp_dir/train.yaml" \
         --checkpoint "$exp_dir/avg_best${average_num}" \
