@@ -110,7 +110,12 @@ def fbank(
     T is the static frame capacity for N samples; frames past flens[b]
     contain garbage and must be masked downstream (standard static-shape
     TPU convention).
+
+    int16 input (the preferred host->device transfer dtype, see
+    AudioCollate.wav_dtype) is cast to f32 here; the cast fuses into
+    the framing/preemphasis elementwise group under jit.
     """
+    wav = wav.astype(jnp.float32)
     b, n = wav.shape
     frame_len = int(sample_rate * frame_length_ms / 1000.0)
     frame_shift = int(sample_rate * frame_shift_ms / 1000.0)

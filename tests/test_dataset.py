@@ -125,6 +125,35 @@ def test_audio_collate_shapes(tiny):
     assert np.abs(batch["wav"]).max() > 100
 
 
+def test_audio_collate_int16_transfer(tiny):
+    """int16 (the default transfer dtype, docs/AXON_NOTES.md) is exact
+    for PCM sources: the x32768 scaling restores raw sample values."""
+    d = text.load_dict(tiny["dict"])
+    ds = AudioDataset(tiny["manifest"], d, batch_type="static",
+                      batch_size=4, max_length=100000)
+    _, b16 = AudioCollate(seed=1)(ds[0])
+    _, b32 = AudioCollate(seed=1, wav_dtype="float32")(ds[0])
+    assert b16["wav"].dtype == np.int16
+    assert b32["wav"].dtype == np.float32
+    np.testing.assert_array_equal(b16["wav"].astype(np.float32),
+                                  b32["wav"])
+    # device frontend accepts either dtype and produces identical feats
+    import jax
+    from openeat_tpu.ops.frontend import FrontendConfig, compute_features
+    cfg = FrontendConfig.from_collate_conf(
+        {"feature_extraction_conf": {"mel_bins": 23}})
+    k = jax.random.PRNGKey(0)
+    f16, l16 = compute_features(jax.numpy.asarray(b16["wav"]),
+                                jax.numpy.asarray(b16["wav_lens"]), k,
+                                cfg, False)
+    f32, l32 = compute_features(jax.numpy.asarray(b32["wav"]),
+                                jax.numpy.asarray(b32["wav_lens"]), k,
+                                cfg, False)
+    np.testing.assert_array_equal(np.asarray(l16), np.asarray(l32))
+    np.testing.assert_allclose(np.asarray(f16), np.asarray(f32),
+                               atol=1e-5)
+
+
 def test_prefetch_loader(tiny):
     d = text.load_dict(tiny["dict"])
     ds = AudioDataset(tiny["manifest"], d, batch_type="static",
