@@ -27,7 +27,8 @@ class DeviceFeeder:
 
     def __init__(self, loader: Iterable, frontend: FrontendConfig,
                  mesh=None, train: bool = True, seed: int = 0,
-                 pad_batch_multiple: int = 1, accum_grad: int = 1):
+                 pad_batch_multiple: int = 1, accum_grad: int = 1,
+                 device_prefetch: int = 1):
         self.loader = loader
         self.frontend = frontend
         self.mesh = mesh
@@ -41,6 +42,14 @@ class DeviceFeeder:
         # activation memory for scan steps (reference executor.py:42-63
         # instead groups loader batches — equivalent up to batch_size).
         self.accum_grad = max(1, accum_grad)
+        # device_prefetch > 0 stages that many batches ahead on a
+        # feeder thread: the next batch's host->device copy (the only
+        # part of device_put that blocks the caller — ~5-20 ms/batch on
+        # the remote tunnel, docs/AXON_NOTES.md) overlaps the current
+        # train step instead of serializing with it. jax dispatch is
+        # thread-safe and data dependencies flow through the arrays, so
+        # consumer-side ordering is unchanged. 0 disables the thread.
+        self.device_prefetch = max(0, device_prefetch)
         self.epoch = 0
 
     def __len__(self):
@@ -68,6 +77,38 @@ class DeviceFeeder:
                 for k, v in batch.items()}
 
     def __iter__(self) -> Iterator[tuple[list, dict]]:
+        if self.device_prefetch <= 0:
+            yield from self._device_batches()
+            return
+        # Bounded handoff queue: the producer thread runs the host
+        # collate drain + device_put + frontend dispatch for batch i+1
+        # while the consumer's train step for batch i executes.
+        import queue as queue_mod
+        import threading
+
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=self.device_prefetch)
+        _END = object()
+
+        def _produce():
+            try:
+                for item in self._device_batches():
+                    q.put(item)
+                q.put(_END)
+            except BaseException as e:  # surface in the consumer
+                q.put(e)
+
+        t = threading.Thread(target=_produce, daemon=True,
+                             name="device-feeder")
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+    def _device_batches(self) -> Iterator[tuple[list, dict]]:
         rng = jax.random.PRNGKey(self.seed + self.epoch)
         self.epoch += 1
         multihost = jax.process_count() > 1

@@ -56,3 +56,40 @@ def test_feeder_feat_passthrough(rng):
     assert out["features"].shape == (2, 30, 8)
     x = np.asarray(out["features"][0])
     np.testing.assert_allclose(x.mean(0), 0, atol=1e-4)
+
+
+def test_feeder_device_prefetch_equivalence(rng):
+    """The prefetch thread (device_prefetch=1, the default) yields the
+    same batches in the same order as the synchronous path."""
+    cfg = FrontendConfig(num_mel_bins=8, spec_aug=False)
+    batches = [_wav_batch(np.random.default_rng(i), 2, 8000)
+               for i in range(5)]
+    sync = list(DeviceFeeder(batches, cfg, mesh=None, train=False,
+                             device_prefetch=0))
+    thr = list(DeviceFeeder(batches, cfg, mesh=None, train=False,
+                            device_prefetch=1))
+    assert [k for k, _ in sync] == [k for k, _ in thr]
+    for (_, a), (_, b) in zip(sync, thr):
+        np.testing.assert_allclose(np.asarray(a["features"]),
+                                   np.asarray(b["features"]), atol=1e-6)
+
+
+def test_feeder_prefetch_propagates_errors():
+    cfg = FrontendConfig(num_mel_bins=8, spec_aug=False)
+
+    def bad_loader():
+        yield from ()
+        raise RuntimeError("loader exploded")
+
+    class Boom:
+        def __iter__(self):
+            raise RuntimeError("loader exploded")
+
+    feeder = DeviceFeeder(Boom(), cfg, mesh=None, train=False,
+                          device_prefetch=1)
+    try:
+        list(feeder)
+    except RuntimeError as e:
+        assert "loader exploded" in str(e)
+    else:
+        raise AssertionError("expected the loader error to propagate")
