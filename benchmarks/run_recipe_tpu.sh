@@ -36,8 +36,8 @@ if [ ! -f data/train/format.data ]; then
   done
 fi
 
-if [ ! -d "$exp_dir/epoch_20" ]; then
-  echo "=== stage 2: train (20 epochs, static 64-utt batches) ==="
+if [ ! -d "$exp_dir/epoch_60" ]; then
+  echo "=== stage 2: train (60 epochs, static 64-utt batches) ==="
   python - <<PY
 # derive the synth config from the flagship TPU conf: static batching
 # (bounded compile-shape count on the remote-compile tunnel), epochs and
@@ -49,13 +49,20 @@ cfg["dataset_conf"].update(batch_type="static", batch_size=64,
 # SpecAug re-scaled for ~1.2 s utterances (the AIShell conf's 3x50-frame
 # time masks would erase most of a 120-frame utterance). batch 64 gives
 # 160 optimizer steps/epoch — the 256-utt variant starved the 12-block
-# flagship of steps (plateau at acc~0.2 for 500 steps; a d=128 4-block
-# probe through the same CLI hits 98% in 480 steps, so step count, not
-# the pipeline, was the limit).
+# flagship of steps (a d=128 4-block probe through the same CLI hits
+# 98% in 480 steps).
+#
+# Schedule: the 12-block flagship on this corpus is lr-fragile —
+# measured grid: peak 1.5e-3/warmup 1.5ep and flat 1e-3 both plateau
+# at cv_acc~0.2-0.35; peak 2e-3/warmup 5ep diverges once lr passes
+# ~1.2e-3; peak 5e-4/warmup 2ep converges cleanly (cv_acc 0.38 ->
+# 0.53 by epoch 4 and onward). The AIShell conf's lr 1e-3/warmup 25k
+# steps assumes ~350k total steps; at 160 steps/epoch the equivalent
+# is a lower peak, reached after ~2 epochs.
 cfg["collate_conf"]["spec_aug_conf"].update(num_t_mask=2, max_t=15)
-cfg["max_epoch"] = 20
-cfg["warmup_epoch"] = 1.5
-cfg["optim_conf"]["lr"] = 0.0015
+cfg["max_epoch"] = 60
+cfg["warmup_epoch"] = 2
+cfg["optim_conf"]["lr"] = 0.0005
 cfg["log_interval"] = 40
 yaml.safe_dump(cfg, open("$work/conf_synth.yaml", "w"), sort_keys=False)
 PY
