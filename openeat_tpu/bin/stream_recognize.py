@@ -49,6 +49,19 @@ def main(argv=None):
     utts = parse_manifest(args.test_data, char_dict,
                           max_length=10 ** 9, sort=False)
     piece = int(args.sample_rate * args.piece_ms / 1000)
+    # feature-normalization mode must match the training frontend:
+    # per-utt-normalized models get the causal running approximation
+    # (exact per-utt stats need the whole utterance — not streamable);
+    # global-CMVN models feed raw frames (the CMVN layer is inside the
+    # encoder). See StreamingRecognizer.__init__.
+    per_utt = cfg.get("collate_conf", {}).get("normalization", True)
+    norm = "running" if per_utt else "none"
+    if per_utt:
+        logger.warning(
+            "model was trained with per-utterance feature "
+            "normalization; streaming uses causal running "
+            "normalization (approximate). For production streaming "
+            "train with --cmvn_file (global CMVN) instead.")
     lat = []
     with open(args.result_file, "w", encoding="utf-8") as fout:
         for u in utts:
@@ -60,7 +73,7 @@ def main(argv=None):
             sr = StreamingRecognizer(
                 model, params, chunk_size=args.chunk_size,
                 num_left_chunks=args.num_left_chunks,
-                sample_rate=args.sample_rate)
+                sample_rate=args.sample_rate, normalization=norm)
             t_max = 0.0
             for i in range(0, len(wav), piece):
                 t0 = time.perf_counter()

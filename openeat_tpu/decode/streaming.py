@@ -29,6 +29,29 @@ from openeat_tpu.models.asr_model import ASRModel
 from openeat_tpu.ops import fbank as fbank_mod
 
 _STEP_CACHE: dict = {}
+_FBANK_CACHE: dict = {}
+
+
+def _get_fbank_group_fn(rate: int, mel: int, group_samples: int):
+    """One jitted incremental-fbank function per (rate, mel, group).
+
+    Must be shared across StreamingRecognizer instances: a per-instance
+    `@jax.jit` closure is a fresh function object, so every new stream
+    re-traces (and re-enters the compile-cache round-trip) — measured as
+    the dominant cost when decoding many utterances over the
+    remote-compile tunnel."""
+    key = (rate, mel, group_samples)
+    fn = _FBANK_CACHE.get(key)
+    if fn is None:
+        @jax.jit
+        def fn(seg):
+            feats, _ = fbank_mod.fbank(
+                seg[None], jnp.array([group_samples]),
+                sample_rate=rate, num_mel_bins=mel)
+            return feats[0]
+
+        _FBANK_CACHE[key] = fn
+    return fn
 
 
 def _get_step_fn(model: ASRModel):
@@ -66,14 +89,37 @@ class StreamingRecognizer:
     def __init__(self, model: ASRModel, params, *, chunk_size: int = 16,
                  num_left_chunks: int = 4, sample_rate: int = 16000,
                  num_mel_bins: int | None = None, blank_id: int = 0,
-                 collect_encoder_out: bool = False):
+                 collect_encoder_out: bool = False,
+                 normalization: str = "none"):
+        """normalization: how to normalize fbank frames before the
+        encoder. "none" feeds raw log-mel — correct for models trained
+        with global CMVN (the GlobalCMVN layer lives inside the encoder
+        and encode_chunk applies it). "running" applies causal
+        mean/variance normalization with statistics over all frames
+        seen so far — the streamable approximation for models trained
+        with PER-UTTERANCE normalization (the training frontend
+        normalizes each utterance with its full-length statistics,
+        which no online system can reproduce exactly; prefer global
+        CMVN for production streaming, WeNet convention). Feeding raw
+        features to a per-utterance-normalized model produces garbage —
+        bin/stream_recognize selects the right mode from the training
+        config automatically."""
         assert model.input_layer == "conv2d", \
             "streaming runtime currently supports conv2d subsampling"
         assert model.causal, "streaming needs a causal conv module"
         self.model = model
         self.params = params
         self.chunk = chunk_size
-        self.left = max(0, num_left_chunks) * chunk_size
+        # static shapes force a finite attention history; -1 ("full
+        # left" in training masks) cannot mean unlimited here — demand
+        # an explicit window instead of silently decoding with zero
+        # context (exact for any utterance shorter than the window)
+        assert num_left_chunks >= 0, (
+            "streaming needs a finite left-context window; pass "
+            "num_left_chunks >= ceil(max_utt_frames / chunk_size) to "
+            "reproduce a full-left-context (num_left_chunks=-1) model "
+            "exactly")
+        self.left = num_left_chunks * chunk_size
         self.rate = sample_rate
         self.mel = num_mel_bins or model.input_size
         self.blank_id = blank_id
@@ -99,6 +145,11 @@ class StreamingRecognizer:
         self.n_frames_done = 0   # fbank frames computed so far
         self.hyp: list[int] = []
         self.prev_tok = -1
+        assert normalization in ("none", "running"), normalization
+        self.normalization = normalization
+        self._nsum = np.zeros((self.mel,), np.float64)
+        self._nsumsq = np.zeros((self.mel,), np.float64)
+        self._nn = 0
 
         self._step = _get_step_fn(model)
         # optional encoder-output capture (tests); forces a device sync
@@ -109,15 +160,8 @@ class StreamingRecognizer:
         self.frame_group = 16
         group_samples = ((self.frame_group - 1) * self.frame_shift
                          + self.frame_len)
-
-        @jax.jit
-        def _fbank_group(seg):
-            feats, _ = fbank_mod.fbank(
-                seg[None], jnp.array([group_samples]),
-                sample_rate=self.rate, num_mel_bins=self.mel)
-            return feats[0]
-
-        self._fbank_group = _fbank_group
+        self._fbank_group = _get_fbank_group_fn(self.rate, self.mel,
+                                                group_samples)
         self._group_samples = group_samples
 
     # ---- audio in ----
@@ -147,13 +191,28 @@ class StreamingRecognizer:
             s0 = self.n_frames_done * self.frame_shift
             seg = self.samples[s0: s0 + self._group_samples]
             feats = self._fbank_group(jnp.asarray(seg))
-            self.frames = np.concatenate(
-                [self.frames, np.asarray(feats)], axis=0)
+            feats = np.asarray(feats, np.float32)
+            if self.normalization == "running":
+                self._nsum += feats.sum(0)
+                self._nsumsq += (feats.astype(np.float64) ** 2).sum(0)
+                self._nn += feats.shape[0]
+            self.frames = np.concatenate([self.frames, feats], axis=0)
             self.n_frames_done += self.frame_group
+
+    def _normalize(self, window: np.ndarray) -> np.ndarray:
+        """Causal running mean/var normalization (matches the training
+        frontend's per-utt formula, specaug.per_utt_normalize, but with
+        frames-so-far statistics — the streamable approximation)."""
+        if self.normalization != "running" or self._nn == 0:
+            return window
+        mean = (self._nsum / self._nn).astype(np.float32)
+        var = (self._nsumsq / self._nn - (self._nsum / self._nn) ** 2)
+        var = np.maximum(var, 0.0).astype(np.float32)
+        return (window - mean) / np.sqrt(var + 1e-8)
 
     def _run_chunk(self) -> list[int]:
         f0 = self._consumed()
-        window = self.frames[f0: f0 + self.win_frames]
+        window = self._normalize(self.frames[f0: f0 + self.win_frames])
         win = jnp.asarray(window)[None]
         toks, enc, k_out, v_out, cnn = self._step(
             self.params, win, jnp.asarray(self.offset, jnp.int32),
