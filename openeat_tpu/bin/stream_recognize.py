@@ -79,6 +79,7 @@ def main(argv=None):
                 t0 = time.perf_counter()
                 sr.accept_waveform(wav[i: i + piece])
                 t_max = max(t_max, time.perf_counter() - t0)
+            sr.finish()  # flush the final partial group + chunk
             text = token_ids_to_text(sr.result(), id2tok)
             fout.write(f"{u.key} {text}\n")
             lat.append(t_max)

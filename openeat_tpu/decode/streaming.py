@@ -62,10 +62,10 @@ def _get_step_fn(model: ASRModel):
     if fn is None:
         @jax.jit
         def fn(params, window, offset, k_caches, v_caches, cache_len,
-               cnn_caches):
+               cnn_caches, valid_len):
             enc, k_new, v_new, c = model.apply(
                 params, window, offset, k_caches, v_caches, cache_len,
-                cnn_caches, method=ASRModel.encode_chunk)
+                cnn_caches, valid_len, method=ASRModel.encode_chunk)
             logp = model.apply(params, enc, method=ASRModel.ctc_log_probs)
             left = k_caches[0].shape[1]
             if left > 0:  # roll right-aligned histories inside the jit
@@ -210,27 +210,75 @@ class StreamingRecognizer:
         var = np.maximum(var, 0.0).astype(np.float32)
         return (window - mean) / np.sqrt(var + 1e-8)
 
-    def _run_chunk(self) -> list[int]:
+    def _run_chunk(self, valid: int | None = None) -> list[int]:
+        """One encoder chunk step. valid < chunk_size only on the final
+        flush chunk: the feature window is zero-padded to the static
+        shape and attention masks the padding (encoder valid_len);
+        only the first `valid` CTC outputs are consumed."""
+        valid = self.chunk if valid is None else valid
         f0 = self._consumed()
         window = self._normalize(self.frames[f0: f0 + self.win_frames])
+        if window.shape[0] < self.win_frames:  # final flush chunk
+            window = np.concatenate(
+                [window, np.zeros((self.win_frames - window.shape[0],
+                                   self.mel), np.float32)], axis=0)
         win = jnp.asarray(window)[None]
         toks, enc, k_out, v_out, cnn = self._step(
             self.params, win, jnp.asarray(self.offset, jnp.int32),
             self.k_caches, self.v_caches,
-            jnp.asarray(self.cache_len, jnp.int32), self.cnn_caches)
+            jnp.asarray(self.cache_len, jnp.int32), self.cnn_caches,
+            jnp.asarray(valid, jnp.int32))
         if self.collect_encoder_out:
-            self.enc_chunks.append(np.asarray(enc[0]))
+            self.enc_chunks.append(np.asarray(enc[0])[:valid])
         if self.left > 0:
             self.k_caches, self.v_caches = k_out, v_out
             self.cache_len = min(self.cache_len + self.chunk, self.left)
         self.cnn_caches = cnn
         self.offset += self.chunk
         out = []
-        for t in np.asarray(toks).tolist():
+        for t in np.asarray(toks).tolist()[:valid]:
             if t != self.prev_tok and t != self.blank_id:
                 out.append(int(t))
             self.prev_tok = t
         self.hyp += out
+        return out
+
+    def finish(self) -> list[int]:
+        """End-of-stream flush. Without it the tail of every utterance
+        is silently dropped: frames short of a full extraction group
+        and subsampled outputs short of a full chunk (up to
+        chunk_size*40ms + 160ms of audio) never reach the encoder —
+        found as systematic suffix truncation in the recipe drive.
+
+        Exact by construction: the flushed fbank frames each depend
+        only on their own 400 real samples (the group segment is
+        zero-padded but over-count frames are discarded), and the final
+        partial chunk masks its padding via the encoder's valid_len, so
+        every emitted output attends only to real positions. Returns
+        the newly emitted tokens."""
+        nf = fbank_mod.num_frames(len(self.samples), self.frame_len,
+                                  self.frame_shift)
+        if nf > self.n_frames_done:
+            s0 = self.n_frames_done * self.frame_shift
+            seg = self.samples[s0: s0 + self._group_samples]
+            if len(seg) < self._group_samples:
+                seg = np.concatenate(
+                    [seg, np.zeros((self._group_samples - len(seg),),
+                                   np.float32)])
+            feats = np.asarray(self._fbank_group(jnp.asarray(seg)),
+                               np.float32)[: nf - self.n_frames_done]
+            if self.normalization == "running":
+                self._nsum += feats.sum(0)
+                self._nsumsq += (feats.astype(np.float64) ** 2).sum(0)
+                self._nn += feats.shape[0]
+            self.frames = np.concatenate([self.frames, feats], axis=0)
+            self.n_frames_done = nf
+        t_total = ((self.frames.shape[0] - 1) // 2 - 1) // 2
+        out = []
+        while t_total - self.offset > self.chunk:
+            out += self._run_chunk()
+        if t_total > self.offset:
+            out += self._run_chunk(valid=t_total - self.offset)
         return out
 
     def result(self) -> list[int]:

@@ -192,10 +192,12 @@ class ASRModel(nn.Module):
         return self.ctc.log_softmax(encoder_out.astype(self.compute_dtype))
 
     def encode_chunk(self, feat_window, offset, k_caches, v_caches,
-                     cache_len, cnn_caches):
-        """Streaming encoder step (see TransformerEncoder.forward_chunk)."""
+                     cache_len, cnn_caches, valid_len=None):
+        """Streaming encoder step (see TransformerEncoder.forward_chunk).
+        valid_len masks the chunk tail on the final (padded) chunk."""
         out, k, v, c = self.encoder.forward_chunk(
-            feat_window, offset, k_caches, v_caches, cache_len, cnn_caches)
+            feat_window, offset, k_caches, v_caches, cache_len, cnn_caches,
+            valid_len)
         return out.astype(jnp.float32), k, v, c
 
     def decoder_init_cache(self, encoder_out, beam_batch: int,

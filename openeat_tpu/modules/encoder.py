@@ -239,7 +239,7 @@ class TransformerEncoder(nn.Module):
 
     def forward_chunk(self, feat_window: jax.Array, offset: jax.Array,
                       k_caches, v_caches, cache_len: jax.Array,
-                      cnn_caches):
+                      cnn_caches, valid_len: jax.Array | None = None):
         """Streaming step on a RAW FEATURE window.
 
         feat_window: [B, W, F] where W = chunk_frames*rate + right
@@ -261,10 +261,17 @@ class TransformerEncoder(nn.Module):
                               deterministic=True)
         t_chunk = xs.shape[1]
         l_cache = k_caches[0].shape[1]
-        # kv validity: trailing cache_len cache slots + the whole chunk
+        # kv validity: trailing cache_len cache slots + the chunk's
+        # first valid_len positions (valid_len < t_chunk on the FINAL,
+        # zero-padded chunk of a stream — attention must not read the
+        # padding; None = whole chunk valid)
+        if valid_len is None:
+            valid_len = jnp.asarray(t_chunk, jnp.int32)
         slot = jnp.arange(l_cache + t_chunk)[None, None, :]
-        kv_mask = (slot >= l_cache - cache_len) | (slot >= l_cache)
-        kv_mask = jnp.broadcast_to(kv_mask, (b, 1, l_cache + t_chunk))
+        in_cache = (slot >= l_cache - cache_len) & (slot < l_cache)
+        in_chunk = (slot >= l_cache) & (slot - l_cache < valid_len)
+        kv_mask = jnp.broadcast_to(in_cache | in_chunk,
+                                   (b, 1, l_cache + t_chunk))
         # absolute-position table for the kv window: slot i has absolute
         # position offset - (l_cache - i), matching the full forward's
         # pe-by-key-absolute-position convention (no rel_shift)

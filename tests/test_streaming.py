@@ -179,3 +179,52 @@ def test_running_norm_none_is_identity():
     sr.normalization = "none"
     w = np.ones((3, 2), np.float32) * 5
     np.testing.assert_array_equal(sr._normalize(w), w)
+
+
+def test_streaming_finish_flushes_tail(rng):
+    """End-of-stream flush: a stream whose length is NOT a multiple of
+    the chunk/frame-group sizes must produce the same hypothesis and
+    encoder outputs as the offline forward over ALL frames — the recipe
+    drive caught systematic suffix truncation without finish()."""
+    from openeat_tpu.decode.streaming import StreamingRecognizer
+    from openeat_tpu.decode.ctc_greedy import ctc_greedy_search
+    from openeat_tpu.ops.fbank import fbank, num_frames
+
+    chunk, left = 4, 2
+    model = ASRModel(
+        input_size=F, vocab_size=VOCAB, encoder_num_blocks=2,
+        decoder_num_blocks=1, r_decoder_num_blocks=0, reverse_weight=0.0,
+        d_model=32, attention_heads=2, linear_units=64,
+        input_layer="conv2d", causal=True, cnn_module_kernel=5,
+        static_chunk_size=chunk, num_left_chunks=left,
+        dropout_rate=0.0, compute_dtype=jnp.float32)
+    n_samp = 15000  # 92 frames -> 22 subsampled outputs = 5*4 + 2
+    wav = (rng.standard_normal(n_samp) * 3000).astype(np.float32)
+    nf = num_frames(n_samp, 400, 160)
+    t_total = ((nf - 1) // 2 - 1) // 2
+    assert t_total % chunk != 0  # the interesting case
+    feats, _ = fbank(jnp.asarray(wav)[None], jnp.array([n_samp]),
+                     num_mel_bins=F)
+    tgt = jnp.asarray(rng.integers(1, VOCAB - 1, (1, 4)), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), feats[:, :nf],
+                        jnp.array([nf]), tgt, jnp.array([4]))
+    enc_full, _ = model.apply(params, feats[:, :nf], jnp.array([nf]),
+                              method=ASRModel.encode)
+    lp = model.apply(params, enc_full[:, :t_total],
+                     method=ASRModel.ctc_log_probs)
+    hyps, hyp_lens = ctc_greedy_search(lp, jnp.array([t_total]))
+    offline = [int(x) for x in hyps[0][: int(hyp_lens[0])]]
+
+    sr = StreamingRecognizer(model, params, chunk_size=chunk,
+                             num_left_chunks=left, num_mel_bins=F,
+                             collect_encoder_out=True)
+    for p in np.split(wav, [1500, 5000, 9100, 12000]):
+        sr.accept_waveform(p)
+    sr.finish()
+    assert sr.offset >= t_total  # every output was produced
+    streamed = np.concatenate(sr.enc_chunks, axis=0)[:t_total]
+    np.testing.assert_allclose(streamed, np.asarray(enc_full[0][:t_total]),
+                               rtol=1e-3, atol=2e-4)
+    assert sr.result() == offline
+    # idempotent: a second finish adds nothing
+    assert sr.finish() == []
