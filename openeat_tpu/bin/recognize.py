@@ -222,7 +222,9 @@ def _ngram_rescore(model, params, enc, enc_lens, nbest, nbest_lens,
         r_score = _gather_token_scores(r_logp, r, flens, model.eos)
         score = (1 - args.reverse_weight) * score \
             + args.reverse_weight * r_score
-    score = np.asarray(score).reshape(b, k)
+    # np.asarray of a jax array is a READ-ONLY view; copy before the
+    # in-place host-side accumulation below
+    score = np.array(score).reshape(b, k)
     score += args.ctc_weight * np.asarray(nbest_scores)
     for bi in range(b):
         for ki in range(k):
