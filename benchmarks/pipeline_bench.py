@@ -57,18 +57,19 @@ def run(tag, wav_dtype, prefetch):
     state_w, m = step(state, b0, k)
     jax.block_until_ready(m["loss"]); state_out = state_w
     n = 0
+    audio = 0.0
+    # audio seconds from the yielded keys' own metadata — robust to any
+    # change in loader batch order, and no per-step host sync
+    dur = {u.key: u.num_frames * 0.01 for batch_ in ds for u in batch_}
     t0 = time.perf_counter()
     for keys, batch in it:
         rng, k = jax.random.split(rng)
         state_out, m = step(state_out, batch, k)
+        audio += sum(dur[k_] for k_ in keys)
         n += 1
         if n >= 120: break
     jax.block_until_ready(m["loss"])
     dt = time.perf_counter() - t0
-    # audio seconds from host metadata (batches 1..n in loader order,
-    # shuffle off) — avoids a per-step host sync inside the timed loop
-    audio = sum(u.num_frames for i in range(1, n + 1)
-                for u in ds[i]) * 0.01
     print(f"{tag}: {n} steps in {dt:.1f}s -> {n/dt:.2f} steps/s, "
           f"{audio/dt:.0f} audio-sec/s", flush=True)
 

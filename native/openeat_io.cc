@@ -521,6 +521,14 @@ class DecodePool {
       threads_.emplace_back([this] { Loop(); });
   }
 
+  // INVARIANT for queued closures: the caller of a batched decode may
+  // return (and release its output buffers) while stragglers are still
+  // queued. A closure must therefore never dereference caller-owned
+  // pointers unless it first wins a next.fetch_add() < n claim on the
+  // shared BatchState — losing claims must exit touching only the
+  // BatchState itself (held alive by shared_ptr). Any future task type
+  // capturing caller-owned buffers without that guard is a
+  // use-after-free.
   void Submit(std::function<void()> f) {
     {
       std::lock_guard<std::mutex> l(mu_);

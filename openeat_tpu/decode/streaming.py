@@ -145,6 +145,7 @@ class StreamingRecognizer:
         self.n_frames_done = 0   # fbank frames computed so far
         self.hyp: list[int] = []
         self.prev_tok = -1
+        self.finished = False
         assert normalization in ("none", "running"), normalization
         self.normalization = normalization
         self._nsum = np.zeros((self.mel,), np.float64)
@@ -169,6 +170,12 @@ class StreamingRecognizer:
     def accept_waveform(self, wav: np.ndarray) -> list[int]:
         """Feed float32 samples (x32768-scaled like training); returns the
         tokens newly emitted by the partial CTC hypothesis."""
+        # Resuming after finish() would corrupt the hypothesis: the
+        # flush chunk rolled zero-pad positions into the K/V caches and
+        # cache_len counts them valid, so later chunks would attend to
+        # padding. Streams are one-shot; start a new recognizer.
+        assert not self.finished, \
+            "accept_waveform() after finish(); streams are one-shot"
         self.samples = np.concatenate([self.samples,
                                        np.asarray(wav, np.float32)])
         self._extract_frames()
@@ -256,6 +263,9 @@ class StreamingRecognizer:
         partial chunk masks its padding via the encoder's valid_len, so
         every emitted output attends only to real positions. Returns
         the newly emitted tokens."""
+        if self.finished:  # idempotent: second flush emits nothing
+            return []
+        self.finished = True
         nf = fbank_mod.num_frames(len(self.samples), self.frame_len,
                                   self.frame_shift)
         if nf > self.n_frames_done:

@@ -88,25 +88,52 @@ class DeviceFeeder:
 
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.device_prefetch)
         _END = object()
+        # Consumer-abandonment signal: if the consumer stops iterating
+        # early (exception, break, GC of the generator), the bounded
+        # q.put would otherwise block the producer thread forever and
+        # pin device_prefetch+1 staged device batches for the process
+        # lifetime. The producer polls this event between put attempts.
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue_mod.Full:
+                    continue
+            return False
 
         def _produce():
             try:
                 for item in self._device_batches():
-                    q.put(item)
-                q.put(_END)
+                    if not _put(item):
+                        return
+                _put(_END)
             except BaseException as e:  # surface in the consumer
-                q.put(e)
+                _put(e)
 
         t = threading.Thread(target=_produce, daemon=True,
                              name="device-feeder")
         t.start()
-        while True:
-            item = q.get()
-            if item is _END:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            # Drain so a producer blocked mid-put exits promptly and the
+            # staged device batches it holds are released.
+            try:
+                while True:
+                    q.get_nowait()
+            except queue_mod.Empty:
+                pass
+            t.join(timeout=5.0)
 
     def _device_batches(self) -> Iterator[tuple[list, dict]]:
         rng = jax.random.PRNGKey(self.seed + self.epoch)
