@@ -13,6 +13,8 @@ exp_dir=exp/conformer
 script_dir="$(cd "$(dirname "$0")" && pwd)"
 config=$script_dir/conf/train_conformer.yaml
 beam_size=10
+decode_dp=1            # shard decode batches over N devices (-1: all)
+decode_batch_size=8
 ctc_weight=0.5
 reverse_weight=0.3
 average_num=5
@@ -67,6 +69,7 @@ if [ $stage -le 4 ] && [ $stop_stage -ge 4 ]; then
       --dict data/dict.txt \
       --mode "$mode" \
       --beam_size "$beam_size" \
+      --dp "$decode_dp" --batch_size "$decode_batch_size" \
       --ctc_weight "$ctc_weight" \
       --reverse_weight "$reverse_weight" \
       --result_file "$exp_dir/hyp_${mode}.txt"

@@ -23,11 +23,13 @@ export PYTHONPATH="$repo_root:${PYTHONPATH:-}"
 
 if [ $stage -le 0 ] && [ $stop_stage -ge 0 ]; then
   echo "stage 0: convert $model_dir/final.pt"
+  # --wenet_config adapts the released train_aed.yaml (encoder_conf/
+  # decoder_conf layout) into a framework train.yaml written next to
+  # the converted checkpoint, so the released architecture is built
+  wenet_yaml=$(ls "$model_dir"/train*.yaml | head -1)
   python -m openeat_tpu.bin.convert_wenet \
     --pt "$model_dir/final.pt" --d_model "$d_model" \
-    --out "$exp_dir/converted"
-  # framework-format config from the released train.yaml
-  cp "$model_dir"/train*.yaml "$exp_dir/train.yaml"
+    --out "$exp_dir/converted" --wenet_config "$wenet_yaml"
 fi
 
 if [ $stage -le 1 ] && [ $stop_stage -ge 1 ]; then

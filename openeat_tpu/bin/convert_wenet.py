@@ -26,6 +26,9 @@ def get_parser():
     p.add_argument("--d_model", type=int, default=256)
     p.add_argument("--out", required=True,
                    help="output checkpoint directory path")
+    p.add_argument("--wenet_config", default=None,
+                   help="released train.yaml; when given, an adapted "
+                        "framework train.yaml is written next to --out")
     return p
 
 
@@ -38,6 +41,18 @@ def main(argv=None):
     path = ckpt_lib.save_checkpoint(out_dir, tag, params,
                                     {"source": args.pt, "tensors": n})
     logger.info("converted %d tensors -> %s", n, path)
+    if args.wenet_config:
+        import yaml
+
+        from openeat_tpu.config import save_config
+        from openeat_tpu.utils.wenet_convert import (convert_wenet_config,
+                                                     is_wenet_config)
+        with open(args.wenet_config) as f:
+            wcfg = yaml.safe_load(f) or {}
+        cfg = convert_wenet_config(wcfg) if is_wenet_config(wcfg) else wcfg
+        conf_path = os.path.join(out_dir, "train.yaml")
+        save_config(cfg, conf_path)
+        logger.info("adapted config -> %s", conf_path)
 
 
 def _iter_leaves(tree):

@@ -63,12 +63,26 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--ngram_lm", default=None, help="ARPA n-gram file")
     p.add_argument("--data_type", default="wav", choices=["wav", "feat",
                                                           "kaldi"])
+    p.add_argument("--dp", type=int, default=1,
+                   help="shard decode batches over this many devices "
+                        "(-1: all). The mesh analog of the reference's "
+                        "N-GPU manifest-split decode fan-out "
+                        "(examples/aishell/run.sh:186-219): one process, "
+                        "batches sharded over the 'data' axis, GSPMD "
+                        "runs encoder+search on every chip")
     return p
 
 
 def load_model(config_path: str, checkpoint: str,
                fallback_vocab: int | None = None):
     cfg = load_config(config_path)
+    from openeat_tpu.utils.wenet_convert import (convert_wenet_config,
+                                                 is_wenet_config)
+    if is_wenet_config(cfg):
+        # a raw WeNet release train.yaml (encoder_conf/decoder_conf
+        # layout) — adapt it so the released architecture is actually
+        # built instead of silently falling back to defaults
+        cfg = convert_wenet_config(cfg)
     input_size = cfg.get("input_size", 80)
     # raw WeNet release yamls carry no vocab_size; fall back to the dict
     # (reference recognize.py derives it from the dict file too)
@@ -121,11 +135,26 @@ def main(argv=None):
     frontend = FrontendConfig.from_collate_conf(
         collate_conf).without_augmentation()
     loader = PrefetchLoader(test_ds, collate, num_workers=4)
+    # decode fan-out over the mesh: batches are sharded on the 'data'
+    # axis and params replicated, so every decode program (encoder, CTC
+    # DP, beam search, rescoring — all batch-parallel) runs on all dp
+    # devices with zero cross-device traffic
+    mesh = None
+    if args.dp == -1 or args.dp > 1:
+        from openeat_tpu.parallel import mesh as mesh_lib
+        mesh = mesh_lib.make_mesh(
+            args.dp if args.dp != -1 else len(jax.devices()), 1,
+            devices=jax.devices()[: args.dp] if args.dp > 1 else None)
+        if args.batch_size % mesh.shape["data"] != 0:
+            raise ValueError(f"--batch_size {args.batch_size} must be a "
+                             f"multiple of --dp {mesh.shape['data']}")
+        params = jax.device_put(params, mesh_lib.replicated(mesh))
+        logger.info("decoding over %d devices", mesh.shape["data"])
     # pad the ragged last batch up to batch_size (repeated utterances;
     # keys are not padded so extra rows are never written) — keeps the
     # decode-program shape count bounded instead of recompiling for the
     # remainder batch
-    feeder = DeviceFeeder(loader, frontend, mesh=None, train=False,
+    feeder = DeviceFeeder(loader, frontend, mesh=mesh, train=False,
                           pad_batch_multiple=args.batch_size)
 
     # optional LM

@@ -128,17 +128,30 @@ def main(argv=None):
     cv_collate = AudioCollate(resample_rate=fe_conf.get("resample_rate",
                                                         16000))
     frontend = FrontendConfig.from_collate_conf(collate_conf)
+    # init/resume checkpoint params are loaded BEFORE model build: the
+    # presence of encoder/global_cmvn stats in the checkpoint (a
+    # converted WeNet release, or a resumed --cmvn_file run) means the
+    # model must be built with the global_cmvn submodule or flax
+    # silently drops the stats — and the features must then be raw
+    # fbank, not per-utterance normalized (the WeNet-init fine-tune
+    # path, reference train.py:173-177 + checkpoint.py:71-96).
+    ckpt_src, ckpt_info = (ckpt_lib.load_checkpoint(args.checkpoint)
+                           if args.checkpoint else (None, {}))
+    ckpt_has_cmvn = ckpt_src is not None and "global_cmvn" in (
+        ckpt_src.get("params", {}).get("encoder", {}) or {})
+    use_global_cmvn = args.cmvn_file is not None or ckpt_has_cmvn
     # global CMVN and per-utterance normalization are exclusive (WeNet
     # convention): the stats from tools/compute_cmvn.py describe RAW
     # fbank output, so applying them after per-utt norm would normalize
     # an already mean-0/var-1 distribution with raw log-mel stats
     # (ADVICE r1). An explicit normalization: true + --cmvn_file is a
     # config error; the default (unset) flips to false.
-    if args.cmvn_file and frontend.normalization:
+    if use_global_cmvn and frontend.normalization:
         if collate_conf.get("normalization") is True:
             raise ValueError(
                 "collate_conf.normalization: true is incompatible with "
-                "--cmvn_file (global CMVN stats are computed on raw "
+                "global CMVN (--cmvn_file or a checkpoint carrying "
+                "global_cmvn stats; the stats are computed on raw "
                 "fbank); remove one of the two")
         from dataclasses import replace as _dc_replace
         frontend = _dc_replace(frontend, normalization=False)
@@ -160,7 +173,7 @@ def main(argv=None):
     # model
     model_conf = dict(cfg.get("model_conf", {}) or {})
     model = build_asr_model(model_conf, input_size, vocab_size,
-                            use_global_cmvn=args.cmvn_file is not None)
+                            use_global_cmvn=use_global_cmvn)
 
     # resolved config for decode-time reuse (reference train.py:149-152).
     # use_global_cmvn MUST be recorded or recognize.py silently builds a
@@ -169,7 +182,7 @@ def main(argv=None):
     resolved = dict(cfg)
     resolved["input_size"] = input_size
     resolved["vocab_size"] = vocab_size
-    resolved["use_global_cmvn"] = args.cmvn_file is not None
+    resolved["use_global_cmvn"] = use_global_cmvn
     with open(os.path.join(args.exp_dir, "train.yaml"), "w") as f:
         yaml.safe_dump(resolved, f, sort_keys=False)
 
@@ -203,10 +216,10 @@ def main(argv=None):
         p = state.params["params"]["encoder"]["global_cmvn"]
         p.update(cmvn_params(mean, istd))
 
-    # checkpoint init/resume
+    # checkpoint init/resume (params were pre-loaded for the cmvn probe)
     start_epoch, step0 = 0, 0
     if args.checkpoint:
-        src, info = ckpt_lib.load_checkpoint(args.checkpoint)
+        src, info = ckpt_src, ckpt_info
         init_mods = [m.strip() for m in args.init_mods.split(",") if m]
         new_params, copied = ckpt_lib.load_trained_modules(
             state.params, src, init_mods)

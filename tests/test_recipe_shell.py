@@ -67,6 +67,7 @@ def _run_sh(cmd, cwd):
     env["PALLAS_AXON_POOL_IPS"] = ""
     # one CPU device is enough; drop conftest's 8-device flag for speed
     env["XLA_FLAGS"] = ""
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")
     r = subprocess.run(cmd, cwd=cwd, env=env, capture_output=True,
                        text=True, timeout=1500)
@@ -168,3 +169,184 @@ def test_librispeech_run_sh(tmp_path, rng):
                     f"test_clean_wer_{mode}.txt")
         assert wer_file.exists(), f"missing {wer_file}"
         assert np.isfinite(_overall_error_rate(str(wer_file)))
+
+
+# ---- WeNet-release shapes shared by the two WeNet-init recipes ----
+# (tests/test_wenet_convert.py synthesizer conventions)
+WD, WV, WF, WHEADS, WFF, WK = 16, 30, 80, 2, 32, 7
+
+CJK27 = list("你好我们他去学校吃饭天气很冷热走跑看书水火山石田人口手")
+assert len(CJK27) == 27
+
+
+def _wenet_release_dir(tmp_path, rng):
+    """Synthesize an unpacked WeNet release: final.pt + train_aed.yaml
+    (WeNet encoder_conf/decoder_conf layout) + words.txt."""
+    import torch
+
+    from tests.test_wenet_convert import _wenet_state
+    d = tmp_path / "wenet_release"
+    d.mkdir()
+    state = _wenet_state(rng)
+    torch.save({k: torch.from_numpy(v) for k, v in state.items()},
+               str(d / "final.pt"))
+    wenet_yaml = {
+        "encoder": "conformer",
+        "encoder_conf": {
+            "output_size": WD, "attention_heads": WHEADS,
+            "linear_units": WFF, "num_blocks": 2, "dropout_rate": 0.0,
+            "positional_dropout_rate": 0.0, "attention_dropout_rate": 0.0,
+            "input_layer": "conv2d", "pos_enc_layer_type": "rel_pos",
+            "use_cnn_module": True, "cnn_module_kernel": WK,
+            "macaron_style": True, "causal": False},
+        "decoder": "bitransformer",
+        "decoder_conf": {"attention_heads": WHEADS, "linear_units": WFF,
+                         "num_blocks": 1, "r_num_blocks": 1,
+                         "dropout_rate": 0.0},
+        "model_conf": {"ctc_weight": 0.3, "lsm_weight": 0.1,
+                       "reverse_weight": 0.3},
+        "input_dim": WF, "output_dim": WV,
+        "dataset_conf": {"fbank_conf": {"num_mel_bins": WF,
+                                        "frame_shift": 10,
+                                        "frame_length": 25,
+                                        "dither": 0.1}},
+    }
+    with open(d / "train_aed.yaml", "w") as f:
+        yaml.safe_dump(wenet_yaml, f)
+    vocab = ["<blank>", "<unk>"] + CJK27 + ["<sos/eos>"]
+    assert len(vocab) == WV
+    (d / "words.txt").write_text(
+        "\n".join(f"{t} {i}" for i, t in enumerate(vocab)) + "\n",
+        encoding="utf-8")
+    return d
+
+
+def _make_data_dir(root, name, rng, utts, prefix="U"):
+    """wav dir + kaldi-style data dir (wav.scp, text) -> format.data."""
+    d = root / "data" / name
+    wavd = root / "wavs" / name
+    d.mkdir(parents=True, exist_ok=True)
+    wavd.mkdir(parents=True, exist_ok=True)
+    scp, txt = [], []
+    for i, text in enumerate(utts):
+        utt = f"{prefix}{name}{i:03d}"
+        p = wavd / f"{utt}.wav"
+        write_wav(str(p), _sine(rng, float(rng.uniform(0.5, 0.9))), 16000)
+        scp.append(f"{utt} {p}")
+        txt.append(f"{utt} {text}")
+    (d / "wav.scp").write_text("\n".join(scp) + "\n", encoding="utf-8")
+    (d / "text").write_text("\n".join(txt) + "\n", encoding="utf-8")
+    _run_sh([sys.executable, os.path.join(REPO, "tools/format_data.py"),
+             str(d)], str(root))
+    return d
+
+
+def test_wenet_pretrained_decoding_run_sh(tmp_path, rng):
+    """examples/wenet_pre-trained_decoding/run.sh end-to-end against a
+    self-synthesized WeNet release: convert (.pt + train_aed.yaml ->
+    framework checkpoint + adapted config) -> rescoring decode -> WER.
+    Reference examples/wenet_pre-trained_decoding/run.sh:28-97."""
+    release = _wenet_release_dir(tmp_path, rng)
+    work = tmp_path / "work"
+    work.mkdir()
+    utts = [" ".join(CJK27[int(rng.integers(len(CJK27)))]
+                     for _ in range(int(rng.integers(2, 5))))
+            for _ in range(4)]
+    _make_data_dir(work, "test", rng, utts)
+
+    r = _run_sh(["bash", os.path.join(
+        REPO, "examples/wenet_pre-trained_decoding/run.sh"),
+        "--model_dir", str(release), "--d_model", str(WD),
+        "--beam_size", "4"], str(work))
+    hyp = work / "exp" / "wenet_decode" / "hyp_attention_rescoring.txt"
+    assert hyp.exists(), "decode wrote no hypotheses"
+    assert len(hyp.read_text(encoding="utf-8").splitlines()) == len(utts)
+    # stage 2 pipes compute_wer | tail -1: the Overall line must be real
+    assert re.search(r"(\d+\.\d+)", r.stdout.splitlines()[-1] if
+                     r.stdout.splitlines() else ""), r.stdout[-2000:]
+    # the adapted config must carry the release architecture, not defaults
+    adapted = yaml.safe_load(
+        (work / "exp" / "wenet_decode" / "train.yaml").read_text())
+    assert adapted["model_conf"]["d_model"] == WD
+    assert adapted["model_conf"]["r_decoder_num_blocks"] == 1
+    assert adapted["vocab_size"] == WV
+
+
+def test_asrucs2019_run_sh(tmp_path, rng):
+    """examples/asrucs2019/run.sh end-to-end on a tiny synthetic CN+EN+
+    code-switch corpus with the WeNet-init + adapter-only fine-tune path
+    (--pretrained + --only_adapter). Reference
+    examples/asrucs2019/run.sh:31-115."""
+    release = _wenet_release_dir(tmp_path, rng)
+    work = tmp_path / "work"
+    work.mkdir()
+    # convert the release for --pretrained (recipe precondition)
+    _run_sh([sys.executable, "-m", "openeat_tpu.bin.convert_wenet",
+             "--pt", str(release / "final.pt"), "--d_model", str(WD),
+             "--out", str(work / "pretrained" / "converted")], str(work))
+
+    en_words = ["HELLO", "WORLD", "GOOD", "MORNING", "NIGHT", "SPEECH"]
+
+    def cn(n):
+        return [" ".join(CJK27[int(rng.integers(len(CJK27)))]
+                         for _ in range(int(rng.integers(2, 5))))
+                for _ in range(n)]
+
+    def en(n):
+        return [" ".join(en_words[int(rng.integers(len(en_words)))]
+                         for _ in range(int(rng.integers(1, 4))))
+                for _ in range(n)]
+
+    def cs(n):
+        return [f"{c} {e}" for c, e in zip(cn(n), en(n))]
+
+    _make_data_dir(work, "train_cn", rng, cn(6))
+    _make_data_dir(work, "train_en", rng, en(6))
+    _make_data_dir(work, "train_cs", rng, cs(6))
+    _make_data_dir(work, "dev_cs", rng, cs(4))
+    _make_data_dir(work, "test_cs", rng, cs(4))
+
+    # tiny conf matching the WeNet release shapes, with adapters ON so
+    # --only_adapter freezes the (partially initialized) backbone
+    conf = {
+        "model_conf": {
+            "d_model": WD, "attention_heads": WHEADS, "linear_units": WFF,
+            "encoder_num_blocks": 2, "decoder_num_blocks": 1,
+            "r_decoder_num_blocks": 1, "reverse_weight": 0.3,
+            "input_layer": "conv2d", "pos_enc_layer_type": "rel_pos",
+            "macaron_style": True, "use_cnn_module": True,
+            "cnn_module_kernel": WK, "ctc_weight": 0.3,
+            "compute_dtype": "float32", "dropout_rate": 0.0,
+            "encoder_use_adapter": True, "decoder_use_adapter": True,
+            "down_size": 8, "scalar": 0.1},
+        "collate_conf": {
+            "feature_extraction_conf": {"resample_rate": 16000,
+                                        "mel_bins": WF,
+                                        "wav_dither": 0.0},
+            "spec_aug": False},
+        "dataset_conf": {"max_length": 2000, "min_length": 5,
+                         "batch_type": "static", "batch_size": 8,
+                         "sort": True},
+        "grad_clip": 5, "max_epoch": 2, "accum_grad": 1,
+        "log_interval": 5, "optim": "adam",
+        "optim_conf": {"lr": 0.002}, "warmup_epoch": 1,
+    }
+    conf_path = tmp_path / "tiny_cs.yaml"
+    with open(conf_path, "w") as f:
+        yaml.safe_dump(conf, f)
+
+    r = _run_sh(["bash", os.path.join(REPO, "examples/asrucs2019/run.sh"),
+                 "--config", str(conf_path),
+                 "--pretrained", str(work / "pretrained" / "converted"),
+                 "--only_adapter", "true",
+                 "--average_num", "2", "--beam_size", "4"], str(work))
+    hyp = work / "exp" / "cs_conformer" / "hyp.txt"
+    assert hyp.exists(), "decode wrote no hypotheses"
+    assert len(hyp.read_text(encoding="utf-8").splitlines()) == 4
+    assert re.search(r"(\d+\.\d+)", r.stdout.splitlines()[-1] if
+                     r.stdout.splitlines() else ""), r.stdout[-2000:]
+    # the exp config must record global CMVN inherited from the WeNet
+    # checkpoint (raw-fbank features + stats from the release)
+    resolved = yaml.safe_load(
+        (work / "exp" / "cs_conformer" / "train.yaml").read_text())
+    assert resolved["use_global_cmvn"] is True
