@@ -69,6 +69,8 @@ def main():
     p.add_argument("--snr_hi", type=float, default=None)
     p.add_argument("--pair_df", type=float, default=None)
     p.add_argument("--scale_jitter", type=float, default=None)
+    p.add_argument("--pair_prior", type=float, default=None)
+    p.add_argument("--amp_jitter", type=float, default=None)
     args = p.parse_args()
     diff = HARD
     if args.snr_lo is not None or args.snr_hi is not None:
@@ -79,8 +81,14 @@ def main():
         diff = replace(diff, pair_df=args.pair_df)
     if args.scale_jitter is not None:
         diff = replace(diff, scale_jitter=args.scale_jitter)
+    if args.pair_prior is not None:
+        diff = replace(diff, pair_prior=args.pair_prior)
+    if args.amp_jitter is not None:
+        diff = replace(diff, amp_jitter=args.amp_jitter)
     print(f"profile: snr={diff.snr_db} pair_df={diff.pair_df} "
-          f"scale_jitter={diff.scale_jitter}", file=sys.stderr)
+          f"scale_jitter={diff.scale_jitter} "
+          f"pair_prior={diff.pair_prior} amp_jitter={diff.amp_jitter}",
+          file=sys.stderr)
     grammar = _grammar(diff)
     vocab = len(diff.chars) + 3  # blank, unk, chars..., sos/eos
 

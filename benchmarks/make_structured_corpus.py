@@ -26,14 +26,31 @@ Difficulty profiles (VERDICT r2 weak #1: the v1 corpus saturated at
 - hard (--hard): engineered so greedy CER lands in the
   few-percent range and the decode modes separate with real margins,
   mirroring real-ASR structure:
-    * 48 symbols, 12 CONFUSABLE PAIRS sharing their low tone and
-      differing by only `pair_df` Hz in the high tone — under the
-      per-utterance speaker scale jitter (±scale_jitter, i.e. more Hz
-      than the pair gap) the pair members are acoustically ambiguous;
-    * the bigram grammar never allows both members of a pair after the
-      same predecessor, so CONTEXT fully disambiguates what acoustics
-      can't — exactly the situation where attention rescoring and LM
-      fusion beat frame-local CTC decisions;
+    * 51 symbols, 12 CONFUSABLE PAIRS: both members of a pair play
+      the SAME two tones and differ only in which tone is louder
+      (amp_hi vs amp_lo swapped), under per-token log-amplitude
+      jitter `amp_jitter` — a Gaussian-channel cue whose d' is set
+      directly by (log(amp_hi/amp_lo), amp_jitter), so the acoustic
+      likelihood resolves a pair member only part of the time. (A
+      frequency gap does NOT work here: mel bins at 5 kHz are ~180 Hz
+      wide, so a sub-bin pair_df is invisible after the filterbank
+      and every decode mode collapses onto the prior — measured as
+      identical 12.15% CER across all modes in the round-3 probe.)
+    * BOTH pair members are grammatical after the same predecessor,
+      with a skewed prior (`pair_prior` for the favored member, fixed
+      per predecessor) — and the two members of a pair share ONE
+      successor distribution, so the following token carries zero
+      information about which member was spoken. The posterior over a
+      pair token is therefore genuinely uncertain (acoustics partial,
+      prior skewed, right context useless): every decoder faces a
+      nonzero Bayes floor, and finite training pushes each model's
+      CER above it by its own estimation error. That is the regime in
+      which attention rescoring (a CTC+AR+reverse ensemble) and LM
+      fusion (a sharper prior estimate) measurably beat frame-local
+      CTC argmax — the same mechanism as on real speech. A fully
+      context-disambiguated design (round-3 first attempt) fails
+      here: the self-attentive encoder itself learns the context rule
+      and greedy re-saturates at ~0.5% CER.
     * additive white noise at a per-utterance SNR draw, random gain,
       and per-token duration jitter.
 
@@ -74,8 +91,24 @@ class Difficulty:
     # the acoustics alone have an irreducible Bayes error and only
     # context can resolve the token — the mechanism that separates
     # sequence-level search from frame-local argmax
-    pair_succ_bias: float = 0.0  # fraction of grammar successors drawn
-    # from pair members (chained ambiguity: context itself is ambiguous)
+    pair_succ_bias: float = 0.0  # fraction of grammar successor slots
+    # that are confusable-pair slots (sets the pair-token rate ≈ the
+    # corpus CER scale)
+    pair_prior: float = 0.0   # P(favored member | predecessor) within a
+    # pair slot; the favored member is a fixed coin flip per
+    # (predecessor, pair). 0 disables (pre-r3 fully-disambiguating
+    # grammar, kept only for the v1 path which has no pairs anyway)
+    amp_jitter: float = 0.0   # per-token log-amplitude sigma on each
+    # tone: the pair channel's noise (d' = 2*log(amp_hi/amp_lo) /
+    # (amp_jitter*sqrt(2)))
+    amp_hi: float = 0.45      # louder/softer tone amps for pair members
+    amp_lo: float = 0.25
+    quiet_rate: float = 0.0   # per-token probability of a strong dip
+    quiet_db: tuple = (10.0, 18.0)  # attenuation draw for quiet tokens:
+    # near/below the noise floor the CTC posterior weakens and greedy
+    # DELETES the token, while the attention decoder and LM (which
+    # model the grammar) recover it from the nbest — a deletion-shaped
+    # error channel rewarding sequence-level search, as in real speech
     snr_db: tuple | None = None  # per-utt SNR draw (None: v1 fixed noise)
     gain_db: float = 0.0      # per-utt gain draw +-gain_db
     dur_jitter: float = 0.0   # per-token duration draw +-dur_jitter (s)
@@ -86,10 +119,11 @@ class Difficulty:
 
 V1 = Difficulty(name="v1", chars=tuple(CHARS_V1))
 HARD = Difficulty(name="hard", chars=tuple(CHARS_HARD), n_pairs=12,
-                  pair_df=20.0, scale_jitter=0.02, tone_jitter_hz=25.0,
-                  pair_succ_bias=0.6, snr_db=(0.0, 8.0),
+                  pair_df=0.0, scale_jitter=0.02, tone_jitter_hz=25.0,
+                  pair_succ_bias=0.5, pair_prior=0.8, snr_db=(3.0, 13.0),
                   gain_db=6.0, dur_jitter=0.02, tok_dur=0.10,
-                  min_len=6, max_len=16)
+                  min_len=6, max_len=16, amp_jitter=0.42,
+                  quiet_rate=0.07)
 
 
 def token_freqs(diff: Difficulty) -> list[tuple[float, float]]:
@@ -104,6 +138,8 @@ def token_freqs(diff: Difficulty) -> list[tuple[float, float]]:
     for k in range(diff.n_pairs):
         f1 = 270.0 + 140.0 * k
         f2 = 5000.0 + 180.0 * k
+        # pair members share frequencies (pair_df=0: the amplitude
+        # pattern is the only cue); pair_df kept as an optional extra
         freqs.append((f1, f2))
         freqs.append((f1, f2 + diff.pair_df))
     n_single = len(diff.chars) - 2 * diff.n_pairs
@@ -113,40 +149,52 @@ def token_freqs(diff: Difficulty) -> list[tuple[float, float]]:
     return freqs
 
 
-def _grammar(diff: Difficulty, seed: int = 7) -> dict[str, list[str]]:
-    """Fixed bigram grammar: each char allows 8 successors. In hard
-    mode a successor list never contains both members of a confusable
-    pair — the predecessor fully determines which member is
-    grammatical, so language context can resolve the acoustic tie."""
+def _grammar(diff: Difficulty, seed: int = 7):
+    """Fixed bigram grammar. v1: each char allows 8 equiprobable
+    successors (round-2 draws reproduced bit-for-bit; plain list
+    values). hard: each PREDECESSOR GROUP (a confusable pair acts as
+    one group — both members share the distribution, so the next token
+    never reveals which member was spoken) draws 8 successor slots:
+    `8*pair_succ_bias` of them are pair slots, the rest singles. A pair
+    slot expands to both members with probabilities
+    (pair_prior, 1-pair_prior); which member is favored is a fixed coin
+    flip per (predecessor-group, pair). Values are (successors, probs)
+    tuples."""
     rng = np.random.default_rng(seed)
     chars = list(diff.chars)
     if diff.n_pairs == 0:  # round-2 grammar, reproduced draw-for-draw
         return {c: [chars[j] for j in rng.choice(len(chars), 8,
                                                  replace=False)]
                 for c in chars}
-    pair_of = {}
-    for k in range(diff.n_pairs):
-        pair_of[chars[2 * k]] = chars[2 * k + 1]
-        pair_of[chars[2 * k + 1]] = chars[2 * k]
-    pair_chars = chars[: 2 * diff.n_pairs]
     single_chars = chars[2 * diff.n_pairs:]
-    n_pair_succ = int(round(8 * diff.pair_succ_bias))
+    n_pair_slots = int(round(8 * diff.pair_succ_bias))
+    n_single_slots = 8 - n_pair_slots
     grammar = {}
-    for c in chars:
+    # predecessor groups: one per pair (shared by both members), then
+    # one per single char
+    groups = ([(chars[2 * k], chars[2 * k + 1])
+               for k in range(diff.n_pairs)]
+              + [(c,) for c in single_chars])
+    for members in groups:
+        pair_ids = rng.permutation(diff.n_pairs)[:n_pair_slots]
+        single_ids = rng.permutation(len(single_chars))[:n_single_slots]
         succ: list[str] = []
-        # pair-member successors first (chained ambiguity), <=1 per pair
-        for j in rng.permutation(len(pair_chars)):
-            cand = pair_chars[j]
-            if pair_of.get(cand) in succ:
-                continue
-            succ.append(cand)
-            if len(succ) == n_pair_succ:
-                break
-        for j in rng.permutation(len(single_chars)):
-            succ.append(single_chars[j])
-            if len(succ) == 8:
-                break
-        grammar[c] = succ
+        probs: list[float] = []
+        slot_p = 1.0 / 8.0
+        for k in pair_ids:
+            a, b = chars[2 * int(k)], chars[2 * int(k) + 1]
+            if rng.random() < 0.5:
+                a, b = b, a
+            succ += [a, b]
+            probs += [slot_p * diff.pair_prior,
+                      slot_p * (1.0 - diff.pair_prior)]
+        for j in single_ids:
+            succ.append(single_chars[int(j)])
+            probs.append(slot_p)
+        p = np.asarray(probs, np.float64)
+        entry = (succ, p / p.sum())
+        for c in members:
+            grammar[c] = entry
     return grammar
 
 
@@ -162,14 +210,28 @@ def synth_utt(rng: np.random.Generator, sent: list[str],
                               if diff.dur_jitter else 0.0)
         n = int(dur * RATE)
         t = np.arange(n) / RATE
-        f1, f2 = freqs[diff.chars.index(ch)]
+        idx = diff.chars.index(ch)
+        f1, f2 = freqs[idx]
         if diff.tone_jitter_hz:
             f1 = f1 + rng.uniform(-diff.tone_jitter_hz,
                                   diff.tone_jitter_hz)
             f2 = f2 + rng.uniform(-diff.tone_jitter_hz,
                                   diff.tone_jitter_hz)
-        seg = (0.4 * np.sin(2 * np.pi * f1 * scale * t)
-               + 0.3 * np.sin(2 * np.pi * f2 * scale * t))
+        if idx < 2 * diff.n_pairs:
+            # pair member: amplitude PATTERN is the identity cue —
+            # even member (f1-loud), odd member (f2-loud)
+            a1, a2 = ((diff.amp_hi, diff.amp_lo) if idx % 2 == 0
+                      else (diff.amp_lo, diff.amp_hi))
+        else:
+            a1, a2 = 0.4, 0.3
+        if diff.amp_jitter:
+            a1 = a1 * np.exp(rng.normal(0.0, diff.amp_jitter))
+            a2 = a2 * np.exp(rng.normal(0.0, diff.amp_jitter))
+        if diff.quiet_rate and rng.random() < diff.quiet_rate:
+            att = 10.0 ** (-rng.uniform(*diff.quiet_db) / 20.0)
+            a1, a2 = a1 * att, a2 * att
+        seg = (a1 * np.sin(2 * np.pi * f1 * scale * t)
+               + a2 * np.sin(2 * np.pi * f2 * scale * t))
         env = np.minimum(1.0, np.minimum(np.arange(n), n - np.arange(n))
                          / (0.01 * RATE))
         segs.append(seg * env)
@@ -196,7 +258,11 @@ def sample_sentence(rng: np.random.Generator, grammar: dict,
     sent = [starts[int(rng.integers(len(starts)))]]
     for _ in range(length - 1):
         succ = grammar[sent[-1]]
-        sent.append(succ[int(rng.integers(len(succ)))])
+        if isinstance(succ, tuple):  # hard: weighted successors
+            lst, p = succ
+            sent.append(lst[int(rng.choice(len(lst), p=p))])
+        else:
+            sent.append(succ[int(rng.integers(len(succ)))])
     return sent
 
 
@@ -243,6 +309,8 @@ def main():
     p.add_argument("--snr_hi", type=float, default=None)
     p.add_argument("--pair_df", type=float, default=None)
     p.add_argument("--scale_jitter", type=float, default=None)
+    p.add_argument("--pair_prior", type=float, default=None)
+    p.add_argument("--amp_jitter", type=float, default=None)
     args = p.parse_args()
     diff = HARD if args.hard else V1
     overrides = {}
@@ -256,6 +324,10 @@ def main():
         overrides["pair_df"] = args.pair_df
     if args.scale_jitter is not None:
         overrides["scale_jitter"] = args.scale_jitter
+    if args.pair_prior is not None:
+        overrides["pair_prior"] = args.pair_prior
+    if args.amp_jitter is not None:
+        overrides["amp_jitter"] = args.amp_jitter
     if overrides:
         from dataclasses import replace
         diff = replace(diff, **overrides)

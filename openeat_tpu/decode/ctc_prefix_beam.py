@@ -63,16 +63,11 @@ def _segment_logsumexp(vals: jax.Array, seg_ids: jax.Array,
     return jnp.where(s <= 0.0, NEG_INF, out)
 
 
-def _search_single(log_probs: jax.Array, length: jax.Array, beam_size: int,
-                   max_hyp_len: int, blank_id: int):
-    """log_probs: [T, V]; length: scalar. Returns (prefixes [K, L],
-    lens [K], scores [K] = log(pb+pnb), sorted best-first)."""
-    t_max, v = log_probs.shape
+def prefix_beam_init(beam_size: int, max_hyp_len: int) -> BeamState:
+    """Empty-prefix beam state (streaming entry point: carry this
+    across chunks and advance it with `prefix_beam_step`)."""
     k = beam_size
-    c = beam_size  # first-stage topk prune width (reference :363)
-    n_cand = k * (c + 1)
-
-    init = BeamState(
+    return BeamState(
         prefixes=jnp.full((k, max_hyp_len), IGNORE_ID, jnp.int32),
         lens=jnp.zeros((k,), jnp.int32),
         last=jnp.full((k,), -1, jnp.int32),
@@ -82,104 +77,127 @@ def _search_single(log_probs: jax.Array, length: jax.Array, beam_size: int,
         pnb=jnp.full((k,), NEG_INF),
     )
 
-    def step(state: BeamState, inputs):
-        lp, t_idx = inputs
-        active = t_idx < length
-        # padded frames: blank lp 0, everything else -inf -> identity step
-        lp = jnp.where(active, lp,
-                       jnp.full_like(lp, NEG_INF).at[blank_id].set(0.0))
-        top_lp, top_v = jax.lax.top_k(lp, c)          # [C]
 
-        # ---- stay candidates (one per prefix) ----
-        lp_blank = lp[blank_id]
-        # the repeated-last-token mass only flows when `last` survives the
-        # frame's topk prune (reference asr_model.py:363-377 iterates only
-        # over the pruned candidate set)
-        last_in_top = jnp.any(top_v[None, :] == state.last[:, None], axis=1)
-        lp_last = jnp.where((state.last >= 0) & last_in_top,
-                            lp[jnp.maximum(state.last, 0)], NEG_INF)
-        blank_in_top = jnp.any(top_v == blank_id)
-        lp_blank = jnp.where(blank_in_top, lp_blank, NEG_INF)
-        stay_pb = _logaddexp(state.pb, state.pnb) + lp_blank       # [K]
-        stay_pnb = state.pnb + lp_last                              # [K]
-
-        # ---- extension candidates [K, C] ----
-        is_blank = top_v[None, :] == blank_id                       # [1,C]
-        same_as_last = top_v[None, :] == state.last[:, None]        # [K,C]
-        base = jnp.where(same_as_last, state.pb[:, None],
-                         _logaddexp(state.pb, state.pnb)[:, None])
-        ext_pnb = base + top_lp[None, :]
-        room = state.lens < max_hyp_len
-        ext_pnb = jnp.where(is_blank | ~room[:, None], NEG_INF, ext_pnb)
-        vv = top_v[None, :].astype(jnp.uint32) + 1
-        ext_h1 = state.h1[:, None] * _H1_MUL + vv
-        ext_h2 = state.h2[:, None] * _H2_MUL + vv * jnp.uint32(97)
-        # blank "extensions" are dead; give them unique junk hashes so
-        # they can never merge with a live prefix
-        junk = (jnp.arange(k * c, dtype=jnp.uint32).reshape(k, c)
-                + jnp.uint32(0x9e3779b9))
-        ext_h1 = jnp.where(is_blank | ~room[:, None], junk, ext_h1)
-        ext_h2 = jnp.where(is_blank | ~room[:, None], junk, ext_h2)
-
-        # ---- flatten: [K] stay then [K*C] ext ----
-        cand_pb = jnp.concatenate([stay_pb, jnp.full((k * c,), NEG_INF)])
-        cand_pnb = jnp.concatenate([stay_pnb, ext_pnb.reshape(-1)])
-        cand_h1 = jnp.concatenate([state.h1, ext_h1.reshape(-1)])
-        cand_h2 = jnp.concatenate([state.h2, ext_h2.reshape(-1)])
-        cand_parent = jnp.concatenate(
-            [jnp.arange(k, dtype=jnp.int32),
-             jnp.repeat(jnp.arange(k, dtype=jnp.int32), c)])
-        cand_tok = jnp.concatenate(
-            [jnp.full((k,), -1, jnp.int32),
-             jnp.tile(top_v.astype(jnp.int32), (k,))])
-
-        # ---- merge equal prefixes: lexsort by (h1, h2) ----
-        order = jnp.lexsort((cand_h2, cand_h1))
-        s_pb, s_pnb = cand_pb[order], cand_pnb[order]
-        s_h1, s_h2 = cand_h1[order], cand_h2[order]
-        s_parent, s_tok = cand_parent[order], cand_tok[order]
-        new_seg = jnp.concatenate(
-            [jnp.array([True]),
-             (s_h1[1:] != s_h1[:-1]) | (s_h2[1:] != s_h2[:-1])])
-        seg_ids = jnp.cumsum(new_seg) - 1                          # [N]
-        m_pb = _segment_logsumexp(s_pb, seg_ids, n_cand)
-        m_pnb = _segment_logsumexp(s_pnb, seg_ids, n_cand)
-        # representative (first) candidate of each segment
-        first_idx = jnp.where(new_seg, jnp.arange(n_cand), n_cand)
-        rep = jax.ops.segment_min(first_idx, seg_ids, num_segments=n_cand)
-        rep = jnp.minimum(rep, n_cand - 1)
-        n_segs = seg_ids[-1] + 1
-        seg_alive = jnp.arange(n_cand) < n_segs
-        score = jnp.where(seg_alive, _logaddexp(m_pb, m_pnb), NEG_INF)
-
-        # ---- keep top K ----
-        top_score, top_seg = jax.lax.top_k(score, k)
-        sel = rep[top_seg]
-        parent = s_parent[sel]
-        tok = s_tok[sel]
-        new_prefixes = state.prefixes[parent]
-        new_lens = state.lens[parent]
-        new_last = state.last[parent]
-        nh1, nh2 = state.h1[parent], state.h2[parent]
-        extend = tok >= 0
-        pos = jnp.minimum(new_lens, max_hyp_len - 1)
-        upd = new_prefixes.at[jnp.arange(k), pos].set(
-            jnp.where(extend, tok, new_prefixes[jnp.arange(k), pos]))
-        new_prefixes = jnp.where(extend[:, None], upd, new_prefixes)
-        new_lens = jnp.where(extend, new_lens + 1, new_lens)
-        new_last = jnp.where(extend, tok, new_last)
-        tu = tok.astype(jnp.uint32) + 1
-        nh1 = jnp.where(extend, nh1 * _H1_MUL + tu, nh1)
-        nh2 = jnp.where(extend, nh2 * _H2_MUL + tu * jnp.uint32(97), nh2)
-        new_state = BeamState(new_prefixes, new_lens, new_last, nh1, nh2,
-                              m_pb[top_seg], m_pnb[top_seg])
-        return new_state, None
-
-    final, _ = jax.lax.scan(
-        step, init, (log_probs, jnp.arange(t_max)))
-    scores = _logaddexp(final.pb, final.pnb)
+def prefix_beam_finalize(state: BeamState):
+    """(prefixes [K, L], lens [K], scores [K]) sorted best-first."""
+    scores = _logaddexp(state.pb, state.pnb)
     order = jnp.argsort(-scores)
-    return (final.prefixes[order], final.lens[order], scores[order])
+    return state.prefixes[order], state.lens[order], scores[order]
+
+
+def prefix_beam_step(state: BeamState, lp: jax.Array, active: jax.Array,
+                     *, blank_id: int = 0) -> BeamState:
+    """One frame of the prefix-beam DP. lp: [V] log-probs; active:
+    scalar bool — an inactive frame is an exact identity step (the
+    same mechanism that pads ragged batches pads ragged streams)."""
+    k, max_hyp_len = state.prefixes.shape
+    c = k  # first-stage topk prune width (reference :363)
+    n_cand = k * (c + 1)
+    # padded frames: blank lp 0, everything else -inf -> identity step
+    lp = jnp.where(active, lp,
+                   jnp.full_like(lp, NEG_INF).at[blank_id].set(0.0))
+    top_lp, top_v = jax.lax.top_k(lp, c)          # [C]
+
+    # ---- stay candidates (one per prefix) ----
+    lp_blank = lp[blank_id]
+    # the repeated-last-token mass only flows when `last` survives the
+    # frame's topk prune (reference asr_model.py:363-377 iterates only
+    # over the pruned candidate set)
+    last_in_top = jnp.any(top_v[None, :] == state.last[:, None], axis=1)
+    lp_last = jnp.where((state.last >= 0) & last_in_top,
+                        lp[jnp.maximum(state.last, 0)], NEG_INF)
+    blank_in_top = jnp.any(top_v == blank_id)
+    lp_blank = jnp.where(blank_in_top, lp_blank, NEG_INF)
+    stay_pb = _logaddexp(state.pb, state.pnb) + lp_blank       # [K]
+    stay_pnb = state.pnb + lp_last                              # [K]
+
+    # ---- extension candidates [K, C] ----
+    is_blank = top_v[None, :] == blank_id                       # [1,C]
+    same_as_last = top_v[None, :] == state.last[:, None]        # [K,C]
+    base = jnp.where(same_as_last, state.pb[:, None],
+                     _logaddexp(state.pb, state.pnb)[:, None])
+    ext_pnb = base + top_lp[None, :]
+    room = state.lens < max_hyp_len
+    ext_pnb = jnp.where(is_blank | ~room[:, None], NEG_INF, ext_pnb)
+    vv = top_v[None, :].astype(jnp.uint32) + 1
+    ext_h1 = state.h1[:, None] * _H1_MUL + vv
+    ext_h2 = state.h2[:, None] * _H2_MUL + vv * jnp.uint32(97)
+    # blank "extensions" are dead; give them unique junk hashes so
+    # they can never merge with a live prefix
+    junk = (jnp.arange(k * c, dtype=jnp.uint32).reshape(k, c)
+            + jnp.uint32(0x9e3779b9))
+    ext_h1 = jnp.where(is_blank | ~room[:, None], junk, ext_h1)
+    ext_h2 = jnp.where(is_blank | ~room[:, None], junk, ext_h2)
+
+    # ---- flatten: [K] stay then [K*C] ext ----
+    cand_pb = jnp.concatenate([stay_pb, jnp.full((k * c,), NEG_INF)])
+    cand_pnb = jnp.concatenate([stay_pnb, ext_pnb.reshape(-1)])
+    cand_h1 = jnp.concatenate([state.h1, ext_h1.reshape(-1)])
+    cand_h2 = jnp.concatenate([state.h2, ext_h2.reshape(-1)])
+    cand_parent = jnp.concatenate(
+        [jnp.arange(k, dtype=jnp.int32),
+         jnp.repeat(jnp.arange(k, dtype=jnp.int32), c)])
+    cand_tok = jnp.concatenate(
+        [jnp.full((k,), -1, jnp.int32),
+         jnp.tile(top_v.astype(jnp.int32), (k,))])
+
+    # ---- merge equal prefixes: lexsort by (h1, h2) ----
+    order = jnp.lexsort((cand_h2, cand_h1))
+    s_pb, s_pnb = cand_pb[order], cand_pnb[order]
+    s_h1, s_h2 = cand_h1[order], cand_h2[order]
+    s_parent, s_tok = cand_parent[order], cand_tok[order]
+    new_seg = jnp.concatenate(
+        [jnp.array([True]),
+         (s_h1[1:] != s_h1[:-1]) | (s_h2[1:] != s_h2[:-1])])
+    seg_ids = jnp.cumsum(new_seg) - 1                          # [N]
+    m_pb = _segment_logsumexp(s_pb, seg_ids, n_cand)
+    m_pnb = _segment_logsumexp(s_pnb, seg_ids, n_cand)
+    # representative (first) candidate of each segment
+    first_idx = jnp.where(new_seg, jnp.arange(n_cand), n_cand)
+    rep = jax.ops.segment_min(first_idx, seg_ids, num_segments=n_cand)
+    rep = jnp.minimum(rep, n_cand - 1)
+    n_segs = seg_ids[-1] + 1
+    seg_alive = jnp.arange(n_cand) < n_segs
+    score = jnp.where(seg_alive, _logaddexp(m_pb, m_pnb), NEG_INF)
+
+    # ---- keep top K ----
+    top_score, top_seg = jax.lax.top_k(score, k)
+    sel = rep[top_seg]
+    parent = s_parent[sel]
+    tok = s_tok[sel]
+    new_prefixes = state.prefixes[parent]
+    new_lens = state.lens[parent]
+    new_last = state.last[parent]
+    nh1, nh2 = state.h1[parent], state.h2[parent]
+    extend = tok >= 0
+    pos = jnp.minimum(new_lens, max_hyp_len - 1)
+    upd = new_prefixes.at[jnp.arange(k), pos].set(
+        jnp.where(extend, tok, new_prefixes[jnp.arange(k), pos]))
+    new_prefixes = jnp.where(extend[:, None], upd, new_prefixes)
+    new_lens = jnp.where(extend, new_lens + 1, new_lens)
+    new_last = jnp.where(extend, tok, new_last)
+    tu = tok.astype(jnp.uint32) + 1
+    nh1 = jnp.where(extend, nh1 * _H1_MUL + tu, nh1)
+    nh2 = jnp.where(extend, nh2 * _H2_MUL + tu * jnp.uint32(97), nh2)
+    new_state = BeamState(new_prefixes, new_lens, new_last, nh1, nh2,
+                          m_pb[top_seg], m_pnb[top_seg])
+    return new_state
+
+
+def _search_single(log_probs: jax.Array, length: jax.Array,
+                   beam_size: int, max_hyp_len: int, blank_id: int):
+    """log_probs: [T, V]; length: scalar. Returns (prefixes [K, L],
+    lens [K], scores [K] = log(pb+pnb), sorted best-first)."""
+    t_max = log_probs.shape[0]
+    init = prefix_beam_init(beam_size, max_hyp_len)
+
+    def step(state, inputs):
+        lp, t_idx = inputs
+        return prefix_beam_step(state, lp, t_idx < length,
+                                blank_id=blank_id), None
+
+    final, _ = jax.lax.scan(step, init, (log_probs, jnp.arange(t_max)))
+    return prefix_beam_finalize(final)
 
 
 @functools.partial(jax.jit,
