@@ -57,6 +57,18 @@ def main():
         return attention_decode(model, params, enc, lens, beam_size=10,
                                 max_steps=64)[0]
 
+    def run_attention_adaptive():
+        # CTC-greedy lengths bound the beam's step budget (bucketed);
+        # ~24-token hypotheses (the flagship corpus statistic) yield a
+        # 40-step program vs the flat 64-step cap
+        from openeat_tpu.decode.attention_beam import adaptive_max_steps
+        enc, lens = encode(params, batch["features"],
+                           batch["features_length"])
+        glens = np.full((b,), 24)
+        return attention_decode(model, params, enc, lens, beam_size=10,
+                                max_steps=adaptive_max_steps(glens,
+                                                             cap=64))[0]
+
     def run_rescoring():
         enc, lens = encode(params, batch["features"],
                            batch["features_length"])
@@ -69,6 +81,7 @@ def main():
     for name, fn in [("ctc_greedy_search", run_greedy),
                      ("ctc_prefix_beam_search", run_prefix),
                      ("attention", run_attention),
+                     ("attention_adaptive", run_attention_adaptive),
                      ("attention_rescoring", run_rescoring)]:
         r = fn()
         jax.block_until_ready(r)
@@ -82,6 +95,58 @@ def main():
         print(json.dumps({"metric": f"decode_rtf_{name}",
                           "value": round(rtf, 5), "unit": "RTF",
                           "vs_baseline": round(0.05 / max(rtf, 1e-9), 2)}))
+
+    streaming_throughput()
+
+
+def streaming_throughput():
+    """Concurrent-stream throughput of the batched streaming runtime
+    (decode/streaming_batch.py): audio-sec/sec for S streams decoded in
+    lockstep vs S=1 — the VERDICT r2 weak-#3 measurement. Uses a causal
+    flagship-sized Conformer (the streaming config of
+    examples/aishell/conf/train_conformer_streaming.yaml)."""
+    from openeat_tpu.decode.streaming_batch import StreamingBatch
+
+    model = ASRModel(
+        input_size=80, vocab_size=4233, encoder_num_blocks=12,
+        decoder_num_blocks=3, r_decoder_num_blocks=3, reverse_weight=0.3,
+        d_model=256, attention_heads=4, linear_units=2048,
+        input_layer="conv2d", cnn_module_kernel=15, causal=True,
+        static_chunk_size=16, num_left_chunks=4, ctc_weight=0.3,
+        dropout_rate=0.1, compute_dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal((1, 64, 80)), jnp.float32)
+    tgt = jnp.asarray(rng.integers(1, 4000, (1, 8)), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), feats, jnp.array([64]),
+                        tgt, jnp.array([8]))
+    dur_s = 10.0
+    wav = (rng.standard_normal(int(dur_s * 16000)) * 3000
+           ).astype(np.float32)
+    for s_count in (1, 8, 16):
+        batch = StreamingBatch(model, params, slots=s_count,
+                               chunk_size=16, num_left_chunks=4,
+                               beam_size=10, max_hyp_len=64,
+                               enc_capacity=256)
+        handles = [batch.open() for _ in range(s_count)]
+        for h in handles:   # warmup/compile: feed 1 chunk worth
+            batch.accept(h, wav[:16000])
+        batch.run_ready()
+        t0 = time.perf_counter()
+        for h in handles:
+            batch.accept(h, wav[16000:])
+        batch.run_ready()
+        for h in handles:
+            batch.finish(h, rescore=False)
+        dt = time.perf_counter() - t0
+        total_audio = (dur_s - 1.0) * s_count
+        # vs_baseline: against the 0.05-RTF/stream budget (= 20
+        # audio-sec/sec per concurrent stream)
+        print(json.dumps({
+            "metric": f"streaming_throughput_S{s_count}",
+            "value": round(total_audio / dt, 1),
+            "unit": "audio-sec/sec",
+            "vs_baseline": round((total_audio / dt) / (20.0 * s_count),
+                                 2)}))
 
 
 if __name__ == "__main__":

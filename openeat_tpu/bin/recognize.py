@@ -54,6 +54,10 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--ctc_weight", type=float, default=0.5)
     p.add_argument("--reverse_weight", type=float, default=0.0)
     p.add_argument("--max_hyp_len", type=int, default=64)
+    p.add_argument("--adaptive_steps", type=int, default=1,
+                   help="attention mode: bound the beam's step count by "
+                        "CTC-greedy hypothesis lengths (bucketed) "
+                        "instead of max_hyp_len; 0 disables")
     p.add_argument("--length_penalty", type=float, default=0.0,
                    help="additive per-token bonus at beam selection "
                         "(attention mode); counters early-eos bias")
@@ -202,9 +206,15 @@ def main(argv=None):
                     max_hyp_len=args.max_hyp_len)
                 hyps, hyp_lens = nbest[:, 0], nbest_lens[:, 0]
             elif args.mode == "attention":
+                max_steps = min(int(enc.shape[1]), args.max_hyp_len)
+                if args.adaptive_steps:
+                    from openeat_tpu.decode.attention_beam import \
+                        adaptive_max_steps
+                    _, glens = ctc_greedy_search(ctc_logp(enc), enc_lens)
+                    max_steps = adaptive_max_steps(glens, cap=max_steps)
                 hyps, hyp_lens, _ = attention_decode(
                     model, params, enc, enc_lens, beam_size=args.beam_size,
-                    max_steps=min(int(enc.shape[1]), args.max_hyp_len),
+                    max_steps=max_steps,
                     length_penalty=args.length_penalty)
             else:  # attention_rescoring
                 nbest, nbest_lens, nbest_scores = ctc_prefix_beam_search(

@@ -183,6 +183,26 @@ def make_decoder_step_fn(model, params):
     return fn
 
 
+def adaptive_max_steps(greedy_lens, *, factor: float = 1.25,
+                       margin: int = 4, bucket: int = 8,
+                       cap: int | None = None) -> int:
+    """Step bound from CTC-greedy hypothesis lengths.
+
+    The reference runs its beam for the full encoder length
+    (asr_model.py:246: maxlen = encoder_out.size(1)) — hundreds of
+    decoder steps for ~20-token hypotheses. A CTC greedy pass costs
+    ~1e-3 of the attention search (benchmarks/decode_rtf.py), and its
+    lengths bound the attention hypothesis tightly in practice; decode
+    with bucketed `factor*max(greedy_len)+margin` steps instead.
+    Bucketing (round up to a multiple of `bucket`) keeps the number of
+    distinct compiled programs small."""
+    import numpy as np
+    m = int(np.max(np.asarray(greedy_lens))) if np.size(greedy_lens) else 0
+    s = int(m * factor) + margin
+    s = max(bucket, ((s + bucket - 1) // bucket) * bucket)
+    return min(s, cap) if cap is not None else s
+
+
 def recognize(model, params, encoder_out, encoder_lens, *, beam_size=10,
               max_steps: int | None = None, use_cache: bool = True,
               length_penalty: float = 0.0):

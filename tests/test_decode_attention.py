@@ -130,3 +130,17 @@ def test_rescoring_matches_manual(rng):
         got = [int(x) for x in best_hyps[bi] if x != IGNORE_ID]
         want = [int(x) for x in hyps[bi, bk] if x != IGNORE_ID]
         assert got == want
+
+
+def test_adaptive_max_steps():
+    from openeat_tpu.decode.attention_beam import adaptive_max_steps
+    # bucketed: 1.25*20+4 = 29 -> rounds up to 32
+    assert adaptive_max_steps(np.array([5, 20, 12])) == 32
+    # cap wins when the bound exceeds it
+    assert adaptive_max_steps(np.array([100]), cap=64) == 64
+    # floor: at least one bucket even for empty/zero-length hyps
+    assert adaptive_max_steps(np.array([0, 0])) == 8
+    assert adaptive_max_steps(np.array([], dtype=np.int32)) == 8
+    # same bucket for nearby lengths -> same compiled program
+    assert (adaptive_max_steps(np.array([21]))
+            == adaptive_max_steps(np.array([22])))
