@@ -30,7 +30,10 @@ lm_weight=0.3
 max_epoch=60
 corpus_flags=""
 if [ "$profile" = hard ]; then
-  corpus_flags="--hard"
+  # 2048 test utts (~48k tokens): at ~8% CER the paired-bootstrap
+  # noise floor is ~0.1 CER points, small enough to resolve the
+  # reference's 0.1-1.1-point mode margins (BASELINE.md).
+  corpus_flags="--hard --n_test 2048"
 fi
 
 mkdir -p "$work"
@@ -195,4 +198,32 @@ for tag in ["rescoring_ngram", "rescoring_translm"]:
     out[tag] = float(m[-1]) if m else None
 json.dump(out, open("$exp_dir/results_lm.json", "w"), indent=1)
 print(json.dumps(out))
+PY
+
+echo "=== stage 7: paired significance (mode deltas vs noise floor) ==="
+python - <<PY
+# every interesting delta as a paired bootstrap: is A worse than B by
+# more than sampling noise? (tools/compare_wer.py)
+import json, subprocess
+pairs = [
+    ("greedy_vs_rescoring", "hyp_ctc_greedy_search.txt",
+     "hyp_attention_rescoring.txt"),
+    ("greedy_vs_prefix", "hyp_ctc_greedy_search.txt",
+     "hyp_ctc_prefix_beam_search.txt"),
+    ("attention_vs_rescoring", "hyp_attention.txt",
+     "hyp_attention_rescoring.txt"),
+    ("rescoring_vs_ngram_fusion", "hyp_attention_rescoring.txt",
+     "hyp_rescoring_ngram.txt"),
+    ("rescoring_vs_translm_fusion", "hyp_attention_rescoring.txt",
+     "hyp_rescoring_translm.txt"),
+]
+out = {}
+for name, a, b in pairs:
+    r = subprocess.run(
+        ["python", "$repo_root/tools/compare_wer.py", "data/test/text",
+         "$exp_dir/" + a, "$exp_dir/" + b], capture_output=True,
+        text=True, check=True)
+    out[name] = json.loads(r.stdout)
+    print(name, r.stdout.strip())
+json.dump(out, open("$exp_dir/results_significance.json", "w"), indent=1)
 PY

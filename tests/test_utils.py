@@ -1,7 +1,10 @@
 """Unit tests for masks and common helpers vs hand values / numpy refs."""
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from openeat_tpu.utils import common, mask
 
@@ -92,3 +95,39 @@ def test_mask_finished_scores_and_preds():
     preds = jnp.array([[1, 2, 3], [4, 5, 6]])
     p = np.asarray(mask.mask_finished_preds(preds, end, eos=9))
     np.testing.assert_array_equal(p, [[9, 9, 9], [4, 5, 6]])
+
+
+def test_compare_wer_paired_bootstrap(tmp_path):
+    """tools/compare_wer.py: a systematic 1-char-per-utt advantage for
+    B must produce delta>0 with a CI excluding 0; identical files give
+    delta 0 with p_sign 1."""
+    import json
+    import subprocess
+    import sys
+    ref = tmp_path / "ref.txt"
+    ha = tmp_path / "a.txt"
+    hb = tmp_path / "b.txt"
+    n = 64
+    with open(ref, "w") as fr, open(ha, "w") as fa, open(hb, "w") as fb:
+        for i in range(n):
+            sent = "甲 乙 丙 丁 戊 己 庚 辛"
+            fr.write(f"u{i} {sent}\n")
+            fb.write(f"u{i} {sent}\n")
+            fa.write(f"u{i} {sent.replace('戊', '壬', 1)}\n")
+    tool = os.path.join(os.path.dirname(__file__), "..", "tools",
+                        "compare_wer.py")
+    r = subprocess.run([sys.executable, tool, str(ref), str(ha), str(hb),
+                        "--n_boot", "2000"], capture_output=True,
+                       text=True, check=True)
+    out = json.loads(r.stdout)
+    assert out["cer_b"] == 0.0
+    assert out["delta"] == pytest.approx(100.0 / 8, abs=0.01)
+    lo, hi = out["delta_ci95"]
+    assert lo > 0 and out["p_a_worse_bootstrap"] == 1.0
+    assert out["discordant"] == {"a_worse": n, "b_worse": 0}
+    assert out["p_sign_test"] < 1e-6
+    r2 = subprocess.run([sys.executable, tool, str(ref), str(hb),
+                         str(hb), "--n_boot", "200"],
+                        capture_output=True, text=True, check=True)
+    out2 = json.loads(r2.stdout)
+    assert out2["delta"] == 0.0 and out2["p_sign_test"] == 1.0
