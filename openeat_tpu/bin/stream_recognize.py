@@ -36,6 +36,23 @@ def get_parser():
     p.add_argument("--piece_ms", type=int, default=200,
                    help="audio arrives in pieces of this duration")
     p.add_argument("--sample_rate", type=int, default=16000)
+    p.add_argument("--slots", type=int, default=1,
+                   help=">1: decode the manifest as this many CONCURRENT "
+                        "streams advanced in lockstep by the batched "
+                        "runtime (decode/streaming_batch.py)")
+    p.add_argument("--final_mode", default="attention_rescoring",
+                   choices=["ctc_greedy_search", "attention_rescoring"],
+                   help="slots>1 only: end-of-stream finalization — live "
+                        "partials are always CTC greedy; rescoring runs "
+                        "prefix-beam + forward/reverse decoder over the "
+                        "accumulated encoder output")
+    p.add_argument("--beam_size", type=int, default=10)
+    p.add_argument("--ctc_weight", type=float, default=0.5)
+    p.add_argument("--reverse_weight", type=float, default=0.0)
+    p.add_argument("--max_hyp_len", type=int, default=64)
+    p.add_argument("--enc_capacity", type=int, default=512,
+                   help="slots>1: encoder-output rows kept per stream "
+                        "for final rescoring (subsampled frames)")
     return p
 
 
@@ -62,6 +79,9 @@ def main(argv=None):
             "normalization; streaming uses causal running "
             "normalization (approximate). For production streaming "
             "train with --cmvn_file (global CMVN) instead.")
+    if args.slots > 1:
+        return _run_batched(args, logger, model, params, utts, id2tok,
+                            norm)
     lat = []
     with open(args.result_file, "w", encoding="utf-8") as fout:
         for u in utts:
@@ -88,6 +108,64 @@ def main(argv=None):
     logger.info("done: %d utts, p50 piece latency %.1f ms, p99 %.1f ms",
                 len(lat), np.percentile(lat, 50) * 1000,
                 np.percentile(lat, 99) * 1000)
+
+
+def _run_batched(args, logger, model, params, utts, id2tok, norm):
+    """S concurrent lockstep streams over the manifest: utterances are
+    assigned to free slots as they open up, audio arrives round-robin in
+    `piece_ms` pieces (interleaved, like independent live sessions), and
+    each stream is finalized the moment its audio is exhausted while the
+    others ride along."""
+    from openeat_tpu.decode.streaming_batch import StreamingBatch
+
+    batch = StreamingBatch(
+        model, params, slots=args.slots, chunk_size=args.chunk_size,
+        num_left_chunks=args.num_left_chunks,
+        sample_rate=args.sample_rate, normalization=norm,
+        beam_size=args.beam_size, max_hyp_len=args.max_hyp_len,
+        enc_capacity=args.enc_capacity)
+    piece = int(args.sample_rate * args.piece_ms / 1000)
+    rescore = args.final_mode == "attention_rescoring"
+    pending = list(utts)
+    live = []  # (handle, utt, wav, sample_pos)
+    t0 = time.time()
+    total_audio = 0.0
+    results = {}
+    while pending or live:
+        while pending and len(live) < args.slots:
+            u = pending.pop(0)
+            path, start, end = parse_wav_entry(u.path)
+            wav, rate = read_audio(path, start, end)
+            if rate != args.sample_rate:
+                wav = resample(wav, rate, args.sample_rate)
+            wav = wav * 32768.0
+            total_audio += len(wav) / args.sample_rate
+            live.append([batch.open(), u, wav, 0])
+        for ent in live:
+            h, _, wav, pos = ent
+            batch.accept(h, wav[pos: pos + piece])
+            ent[3] = pos + piece
+        batch.run_ready()
+        still = []
+        for ent in live:
+            h, u, wav, pos = ent
+            if pos < len(wav):
+                still.append(ent)
+                continue
+            toks = batch.finish(h, rescore=rescore,
+                                ctc_weight=args.ctc_weight,
+                                reverse_weight=args.reverse_weight)
+            batch.close(h)
+            results[u.key] = token_ids_to_text(toks, id2tok)
+            logger.info("%s: '%s'", u.key, results[u.key])
+        live = still
+    dt = time.time() - t0
+    with open(args.result_file, "w", encoding="utf-8") as fout:
+        for u in utts:
+            fout.write(f"{u.key} {results[u.key]}\n")
+    logger.info("done: %d utts over %d slots, %.1f audio-sec in %.1fs "
+                "wall (%.1fx realtime aggregate)", len(utts), args.slots,
+                total_audio, dt, total_audio / max(dt, 1e-9))
 
 
 if __name__ == "__main__":

@@ -173,3 +173,64 @@ def test_slot_reuse_is_clean(small_model):
 
     with pytest.raises(RuntimeError):
         batch.open()  # h3 still holds the only slot
+
+
+def test_stream_recognize_cli_slots(tmp_path):
+    """bin/stream_recognize --slots 4 (batched lockstep runtime) emits
+    the SAME hypotheses as --slots 1 (sequential B=1 runtime) over a
+    real manifest, under running normalization; rescoring finalization
+    also produces a full result file."""
+    import yaml
+
+    from openeat_tpu.bin import stream_recognize
+    from openeat_tpu.utils import checkpoint as ckpt_lib
+    from tests.make_tiny_data import build
+
+    data = build(str(tmp_path / "data"), n_utts=6, seed=3,
+                 min_dur=0.5, max_dur=1.2)
+    model_conf = {
+        "encoder_num_blocks": 2, "decoder_num_blocks": 1,
+        "r_decoder_num_blocks": 1, "reverse_weight": 0.3,
+        "d_model": 32, "attention_heads": 2, "linear_units": 64,
+        "input_layer": "conv2d", "causal": True, "cnn_module_kernel": 5,
+        "static_chunk_size": 4, "num_left_chunks": 2,
+        "dropout_rate": 0.0, "compute_dtype": "float32"}
+    from openeat_tpu.models.asr_model import build_asr_model
+    model = build_asr_model(model_conf, 80, data["vocab_size"])
+    rng = np.random.default_rng(11)
+    feats = jnp.asarray(rng.standard_normal((1, 32, 80)), jnp.float32)
+    tgt = jnp.asarray(rng.integers(1, data["vocab_size"] - 1, (1, 4)),
+                      jnp.int32)
+    params = model.init(jax.random.PRNGKey(5), feats, jnp.array([32]),
+                        tgt, jnp.array([4]))
+    exp = tmp_path / "exp"
+    ckpt_lib.save_checkpoint(str(exp), "epoch_0", params)
+    cfg = {"input_size": 80, "vocab_size": data["vocab_size"],
+           "model_conf": model_conf,
+           "collate_conf": {"normalization": True}}
+    with open(exp / "train.yaml", "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    def run(extra, out_name):
+        out = str(tmp_path / out_name)
+        stream_recognize.main([
+            "--config", str(exp / "train.yaml"),
+            "--checkpoint", str(exp / "epoch_0"),
+            "--test_data", data["manifest"],
+            "--dict", data["dict"],
+            "--result_file", out,
+            "--chunk_size", "4", "--num_left_chunks", "2",
+            "--piece_ms", "150"] + extra)
+        with open(out, encoding="utf-8") as f:
+            return {ln.split(None, 1)[0]: (ln.split(None, 1) + [""])[1].strip()
+                    for ln in f if ln.strip()}
+
+    h1 = run([], "h1.txt")
+    h4 = run(["--slots", "4", "--final_mode", "ctc_greedy_search"],
+             "h4.txt")
+    assert set(h1) == set(data["texts"]) == set(h4)
+    assert h1 == h4, "batched CLI diverged from sequential CLI"
+    hr = run(["--slots", "3", "--final_mode", "attention_rescoring",
+              "--reverse_weight", "0.3", "--enc_capacity", "64"],
+             "hr.txt")
+    assert set(hr) == set(data["texts"])
