@@ -1,0 +1,129 @@
+#!/usr/bin/env bash
+# Streamed-decode quality on the HARD corpus, REAL TPU (VERDICT r2
+# item 7 done-criterion): train a causal static-chunk flagship with
+# global CMVN (the streamable normalization) on the hard structured
+# corpus, then decode the test set
+#   (a) offline  — attention_rescoring + ctc greedy (bin/recognize)
+#   (b) streamed — bin/stream_recognize --slots 16, live CTC partials,
+#       end-of-stream prefix-beam + fwd/rev attention rescoring
+# and compare streamed vs offline CER with the paired bootstrap
+# (tools/compare_wer.py). Target: streamed rescoring CER <= offline
+# rescoring CER within noise.
+#
+# Usage: PYTHONPATH=/root/repo:/root/.axon_site \
+#        bash benchmarks/run_streaming_hard.sh [work] [corpus_work]
+# corpus_work must already contain the hard corpus (run_recipe_tpu.sh
+# hard profile generates it; data/ is reused read-only).
+set -euo pipefail
+
+work=${1:-/tmp/streaming_hard}
+corpus=${2:-/tmp/recipe_hard}
+repo_root="$(cd "$(dirname "$0")/.." && pwd)"
+export PYTHONPATH="$repo_root:${PYTHONPATH:-}"
+export JAX_COMPILATION_CACHE_DIR=/tmp/jax_compile_cache
+exp_dir=$work/exp
+max_epoch=40
+average_num=3
+
+[ -f "$corpus/data/train/format.data" ] || {
+  echo "hard corpus not found at $corpus (run run_recipe_tpu.sh hard)"
+  exit 1
+}
+mkdir -p "$work"
+cd "$work"
+[ -e data ] || ln -s "$corpus/data" data
+
+if [ ! -f "$work/cmvn.json" ]; then
+  echo "=== global CMVN stats (raw fbank over train) ==="
+  python "$repo_root/tools/compute_cmvn.py" data/train/format.data \
+    "$work/cmvn.json" --max_utts 2048
+fi
+
+if [ ! -d "$exp_dir/epoch_$max_epoch" ]; then
+  echo "=== train causal static-chunk flagship ($max_epoch epochs) ==="
+  python - <<PY
+# streaming variant of the hard-corpus synth config: causal convs +
+# static 16-frame chunks (chunked attention masks in training), global
+# CMVN instead of per-utt normalization (train.py flips it when
+# --cmvn_file is given). Schedule/batching follow conf_synth.yaml
+# (run_recipe_tpu.sh stage 2 rationale).
+import yaml
+cfg = yaml.safe_load(open("$corpus/conf_synth.yaml"))
+cfg["model_conf"].update(causal=True, static_chunk_size=16,
+                         num_left_chunks=-1)
+cfg["max_epoch"] = $max_epoch
+yaml.safe_dump(cfg, open("$work/conf_stream.yaml", "w"),
+               sort_keys=False)
+PY
+  resume=()
+  last=$(ls -d "$exp_dir"/epoch_* 2>/dev/null | sed 's/.*epoch_//' |
+         sort -n | tail -1 || true)
+  if [ -n "${last:-}" ]; then
+    echo "resuming from epoch_$last"
+    resume=(--checkpoint "$exp_dir/epoch_$last")
+  fi
+  python -m openeat_tpu.bin.train \
+    --config "$work/conf_stream.yaml" \
+    --train_data data/train/format.data \
+    --cv_data data/dev/format.data \
+    --dict data/dict.txt \
+    --cmvn_file "$work/cmvn.json" \
+    --exp_dir "$exp_dir" "${resume[@]}"
+fi
+
+echo "=== average best-$average_num ==="
+python -m openeat_tpu.bin.average_model \
+  --exp_dir "$exp_dir" --dst "avg_best${average_num}" \
+  --num "$average_num" --val_best
+
+ckpt=$exp_dir/avg_best${average_num}
+
+echo "=== offline decode (greedy + rescoring) ==="
+for mode in ctc_greedy_search attention_rescoring; do
+  python -m openeat_tpu.bin.recognize \
+    --config "$exp_dir/train.yaml" \
+    --checkpoint "$ckpt" \
+    --test_data data/test/format.data \
+    --dict data/dict.txt \
+    --mode "$mode" \
+    --batch_size 64 --beam_size 10 \
+    --ctc_weight 0.5 --reverse_weight 0.3 --max_hyp_len 24 \
+    --result_file "$exp_dir/hyp_offline_${mode}.txt"
+  python "$repo_root/tools/compute_wer.py" data/test/text \
+    "$exp_dir/hyp_offline_${mode}.txt" > "$exp_dir/cer_offline_${mode}.txt"
+  tail -1 "$exp_dir/cer_offline_${mode}.txt"
+done
+
+echo "=== streamed decode (16 concurrent slots, rescoring finalize) ==="
+python -m openeat_tpu.bin.stream_recognize \
+  --config "$exp_dir/train.yaml" \
+  --checkpoint "$ckpt" \
+  --test_data data/test/format.data \
+  --dict data/dict.txt \
+  --chunk_size 16 --num_left_chunks 8 --piece_ms 400 \
+  --slots 16 --final_mode attention_rescoring \
+  --beam_size 10 --ctc_weight 0.5 --reverse_weight 0.3 \
+  --max_hyp_len 24 --enc_capacity 128 \
+  --result_file "$exp_dir/hyp_streamed.txt"
+python "$repo_root/tools/compute_wer.py" data/test/text \
+  "$exp_dir/hyp_streamed.txt" > "$exp_dir/cer_streamed.txt"
+tail -1 "$exp_dir/cer_streamed.txt"
+
+echo "=== streamed vs offline (paired bootstrap) ==="
+python - <<PY
+import json, re, subprocess
+out = {}
+for tag in ["offline_ctc_greedy_search", "offline_attention_rescoring",
+            "streamed"]:
+    text = open("$exp_dir/cer_" + tag + ".txt").read()
+    m = re.findall(r"Overall.*?(\d+\.\d+)", text)
+    out[tag] = float(m[-1]) if m else None
+r = subprocess.run(
+    ["python", "$repo_root/tools/compare_wer.py", "data/test/text",
+     "$exp_dir/hyp_streamed.txt",
+     "$exp_dir/hyp_offline_attention_rescoring.txt"],
+    capture_output=True, text=True, check=True)
+out["streamed_vs_offline_rescoring"] = json.loads(r.stdout)
+json.dump(out, open("$exp_dir/results_streaming.json", "w"), indent=1)
+print(json.dumps(out))
+PY
