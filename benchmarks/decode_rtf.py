@@ -131,6 +131,11 @@ def streaming_throughput():
         for h in handles:   # warmup/compile: feed 1 chunk worth
             batch.accept(h, wav[:16000])
         batch.run_ready()
+        # credit exactly the audio decoded inside the timed window:
+        # warmup consumed offset*4 frames (10 ms each) per stream, not
+        # a round 1.0 s
+        warm = [4 * int(batch.state.offset[h.slot]) * 0.01
+                for h in handles]
         t0 = time.perf_counter()
         for h in handles:
             batch.accept(h, wav[16000:])
@@ -138,7 +143,9 @@ def streaming_throughput():
         for h in handles:
             batch.finish(h, rescore=False)
         dt = time.perf_counter() - t0
-        total_audio = (dur_s - 1.0) * s_count
+        total_audio = sum(
+            4 * int(batch.state.offset[h.slot]) * 0.01 - w
+            for h, w in zip(handles, warm))
         # vs_baseline: against the 0.05-RTF/stream budget (= 20
         # audio-sec/sec per concurrent stream)
         print(json.dumps({

@@ -54,10 +54,15 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--ctc_weight", type=float, default=0.5)
     p.add_argument("--reverse_weight", type=float, default=0.0)
     p.add_argument("--max_hyp_len", type=int, default=64)
-    p.add_argument("--adaptive_steps", type=int, default=1,
+    p.add_argument("--adaptive_steps", type=int, default=0,
                    help="attention mode: bound the beam's step count by "
                         "CTC-greedy hypothesis lengths (bucketed) "
-                        "instead of max_hyp_len; 0 disables")
+                        "instead of max_hyp_len — a large RTF win when "
+                        "the CTC head is trustworthy, but it TRUNCATES "
+                        "hypotheses if greedy badly underestimates "
+                        "length (weak/low-weight CTC heads), so it is "
+                        "opt-in; the reference always runs the full "
+                        "encoder length (asr_model.py:246)")
     p.add_argument("--length_penalty", type=float, default=0.0,
                    help="additive per-token bonus at beam selection "
                         "(attention mode); counters early-eos bias")

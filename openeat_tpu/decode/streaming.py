@@ -54,6 +54,98 @@ def _get_fbank_group_fn(rate: int, mel: int, group_samples: int):
     return fn
 
 
+class HostFrontend:
+    """Host-side incremental feature pipeline for ONE stream: sample
+    buffering, group-wise fbank extraction, causal running
+    normalization, and the end-of-stream tail flush. Shared by the B=1
+    runtime (StreamingRecognizer) and every StreamingBatch slot so the
+    flush/normalization logic — whose absence/divergence produced real
+    e2e bugs (suffix truncation, raw-feature feed) — exists exactly
+    once.
+
+    Incremental fbank is exact: each frame depends only on its own
+    `frame_len` samples, so fixed `frame_group`-frame groups (one
+    compiled XLA shape) reproduce offline fbank bit-for-bit; the flush
+    group is zero-padded but over-count frames are discarded.
+    "running" normalization applies the training frontend's per-utt
+    mean/var formula with frames-so-far statistics (the streamable
+    causal approximation; use global CMVN models for exactness)."""
+
+    FRAME_GROUP = 16
+
+    def __init__(self, mel: int, rate: int, normalization: str = "none"):
+        assert normalization in ("none", "running"), normalization
+        self.mel = mel
+        self.normalization = normalization
+        self.frame_len = int(rate * 0.025)
+        self.frame_shift = int(rate * 0.010)
+        self.group_samples = ((self.FRAME_GROUP - 1) * self.frame_shift
+                              + self.frame_len)
+        self._fbank_group = _get_fbank_group_fn(rate, mel,
+                                                self.group_samples)
+        self.samples = np.zeros((0,), np.float32)
+        self.frames = np.zeros((0, mel), np.float32)
+        self.n_frames_done = 0
+        self._nsum = np.zeros((mel,), np.float64)
+        self._nsumsq = np.zeros((mel,), np.float64)
+        self._nn = 0
+
+    def accept(self, wav) -> None:
+        self.samples = np.concatenate([self.samples,
+                                       np.asarray(wav, np.float32)])
+        self._extract_full_groups()
+
+    def _ingest(self, feats: np.ndarray) -> None:
+        if self.normalization == "running":
+            self._nsum += feats.sum(0)
+            self._nsumsq += (feats.astype(np.float64) ** 2).sum(0)
+            self._nn += feats.shape[0]
+        self.frames = np.concatenate([self.frames, feats], axis=0)
+
+    def _extract_full_groups(self) -> None:
+        n_avail = fbank_mod.num_frames(len(self.samples), self.frame_len,
+                                       self.frame_shift)
+        while n_avail - self.n_frames_done >= self.FRAME_GROUP:
+            s0 = self.n_frames_done * self.frame_shift
+            seg = self.samples[s0: s0 + self.group_samples]
+            feats = np.asarray(self._fbank_group(jnp.asarray(seg)),
+                               np.float32)
+            self._ingest(feats)
+            self.n_frames_done += self.FRAME_GROUP
+
+    def flush_tail(self) -> None:
+        """Extract the final sub-group frames (end of stream)."""
+        nf = fbank_mod.num_frames(len(self.samples), self.frame_len,
+                                  self.frame_shift)
+        if nf <= self.n_frames_done:
+            return
+        s0 = self.n_frames_done * self.frame_shift
+        seg = self.samples[s0: s0 + self.group_samples]
+        if len(seg) < self.group_samples:
+            seg = np.concatenate(
+                [seg, np.zeros((self.group_samples - len(seg),),
+                               np.float32)])
+        feats = np.asarray(self._fbank_group(jnp.asarray(seg)),
+                           np.float32)[: nf - self.n_frames_done]
+        self._ingest(feats)
+        self.n_frames_done = nf
+
+    def t_total(self) -> int:
+        """Subsampled (conv2d /4) output count of the frames so far."""
+        return ((self.frames.shape[0] - 1) // 2 - 1) // 2
+
+    def window(self, f0: int, n: int) -> np.ndarray:
+        """Normalized feature window [<=n, mel] starting at frame f0
+        (short only at the end of the stream — caller pads)."""
+        w = self.frames[f0: f0 + n]
+        if self.normalization != "running" or self._nn == 0:
+            return w
+        mean = (self._nsum / self._nn).astype(np.float32)
+        var = (self._nsumsq / self._nn - (self._nsum / self._nn) ** 2)
+        var = np.maximum(var, 0.0).astype(np.float32)
+        return (w - mean) / np.sqrt(var + 1e-8)
+
+
 def _get_step_fn(model: ASRModel):
     """One jitted chunk step per model (flax modules are hashable);
     sharing it across StreamingRecognizer instances keeps XLA's compile
@@ -140,30 +232,18 @@ class StreamingRecognizer:
             for _ in range(n_apps))
         self.cache_len = 0
         self.offset = 0          # absolute subsampled-frame position
-        self.samples = np.zeros((0,), np.float32)
-        self.frames = np.zeros((0, self.mel), np.float32)
-        self.n_frames_done = 0   # fbank frames computed so far
         self.hyp: list[int] = []
         self.prev_tok = -1
         self.finished = False
-        assert normalization in ("none", "running"), normalization
-        self.normalization = normalization
-        self._nsum = np.zeros((self.mel,), np.float64)
-        self._nsumsq = np.zeros((self.mel,), np.float64)
-        self._nn = 0
+        # incremental fbank + running normalization live in the shared
+        # host pipeline (also used per-slot by StreamingBatch)
+        self.fe = HostFrontend(self.mel, self.rate, normalization)
 
         self._step = _get_step_fn(model)
         # optional encoder-output capture (tests); forces a device sync
         # per chunk, so it's off in production
         self.collect_encoder_out = collect_encoder_out
         self.enc_chunks: list[np.ndarray] = []
-        # incremental fbank: fixed groups of frames -> one compiled shape
-        self.frame_group = 16
-        group_samples = ((self.frame_group - 1) * self.frame_shift
-                         + self.frame_len)
-        self._fbank_group = _get_fbank_group_fn(self.rate, self.mel,
-                                                group_samples)
-        self._group_samples = group_samples
 
     # ---- audio in ----
 
@@ -176,46 +256,16 @@ class StreamingRecognizer:
         # padding. Streams are one-shot; start a new recognizer.
         assert not self.finished, \
             "accept_waveform() after finish(); streams are one-shot"
-        self.samples = np.concatenate([self.samples,
-                                       np.asarray(wav, np.float32)])
-        self._extract_frames()
+        self.fe.accept(wav)
         emitted = []
-        while self.frames.shape[0] - self._consumed() >= self.win_frames:
+        while (self.fe.frames.shape[0] - self._consumed()
+               >= self.win_frames):
             emitted += self._run_chunk()
         return emitted
 
     def _consumed(self) -> int:
         # feature frames consumed so far = 4 * offset (stride 4)
         return 4 * self.offset
-
-    def _extract_frames(self):
-        """Compute new fbank frames in fixed-size groups (each frame
-        depends only on its own 400-sample window, so grouping is exact
-        and every group compiles to the same XLA program)."""
-        n_avail = fbank_mod.num_frames(len(self.samples), self.frame_len,
-                                       self.frame_shift)
-        while n_avail - self.n_frames_done >= self.frame_group:
-            s0 = self.n_frames_done * self.frame_shift
-            seg = self.samples[s0: s0 + self._group_samples]
-            feats = self._fbank_group(jnp.asarray(seg))
-            feats = np.asarray(feats, np.float32)
-            if self.normalization == "running":
-                self._nsum += feats.sum(0)
-                self._nsumsq += (feats.astype(np.float64) ** 2).sum(0)
-                self._nn += feats.shape[0]
-            self.frames = np.concatenate([self.frames, feats], axis=0)
-            self.n_frames_done += self.frame_group
-
-    def _normalize(self, window: np.ndarray) -> np.ndarray:
-        """Causal running mean/var normalization (matches the training
-        frontend's per-utt formula, specaug.per_utt_normalize, but with
-        frames-so-far statistics — the streamable approximation)."""
-        if self.normalization != "running" or self._nn == 0:
-            return window
-        mean = (self._nsum / self._nn).astype(np.float32)
-        var = (self._nsumsq / self._nn - (self._nsum / self._nn) ** 2)
-        var = np.maximum(var, 0.0).astype(np.float32)
-        return (window - mean) / np.sqrt(var + 1e-8)
 
     def _run_chunk(self, valid: int | None = None) -> list[int]:
         """One encoder chunk step. valid < chunk_size only on the final
@@ -224,7 +274,7 @@ class StreamingRecognizer:
         only the first `valid` CTC outputs are consumed."""
         valid = self.chunk if valid is None else valid
         f0 = self._consumed()
-        window = self._normalize(self.frames[f0: f0 + self.win_frames])
+        window = self.fe.window(f0, self.win_frames)
         if window.shape[0] < self.win_frames:  # final flush chunk
             window = np.concatenate(
                 [window, np.zeros((self.win_frames - window.shape[0],
@@ -266,24 +316,8 @@ class StreamingRecognizer:
         if self.finished:  # idempotent: second flush emits nothing
             return []
         self.finished = True
-        nf = fbank_mod.num_frames(len(self.samples), self.frame_len,
-                                  self.frame_shift)
-        if nf > self.n_frames_done:
-            s0 = self.n_frames_done * self.frame_shift
-            seg = self.samples[s0: s0 + self._group_samples]
-            if len(seg) < self._group_samples:
-                seg = np.concatenate(
-                    [seg, np.zeros((self._group_samples - len(seg),),
-                                   np.float32)])
-            feats = np.asarray(self._fbank_group(jnp.asarray(seg)),
-                               np.float32)[: nf - self.n_frames_done]
-            if self.normalization == "running":
-                self._nsum += feats.sum(0)
-                self._nsumsq += (feats.astype(np.float64) ** 2).sum(0)
-                self._nn += feats.shape[0]
-            self.frames = np.concatenate([self.frames, feats], axis=0)
-            self.n_frames_done = nf
-        t_total = ((self.frames.shape[0] - 1) // 2 - 1) // 2
+        self.fe.flush_tail()
+        t_total = self.fe.t_total()
         out = []
         while t_total - self.offset > self.chunk:
             out += self._run_chunk()

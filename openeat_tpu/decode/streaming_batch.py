@@ -46,8 +46,8 @@ from openeat_tpu.decode.ctc_prefix_beam import (BeamState,
                                                prefix_beam_init,
                                                prefix_beam_step)
 from openeat_tpu.decode.rescoring import attention_rescoring
+from openeat_tpu.decode.streaming import HostFrontend
 from openeat_tpu.models.asr_model import ASRModel
-from openeat_tpu.ops import fbank as fbank_mod
 
 _STEP_CACHE: dict = {}
 _RESCORE_CACHE: dict = {}
@@ -154,20 +154,17 @@ def _get_rescorer(model, ctc_weight, reverse_weight):
 
 
 class _Slot:
-    __slots__ = ("in_use", "samples", "frames", "n_frames_done", "hyp",
-                 "prev_tok", "finished", "nsum", "nsumsq", "nn")
+    __slots__ = ("in_use", "fe", "hyp", "prev_tok", "finished")
 
-    def __init__(self, mel: int):
+    def __init__(self, mel: int, rate: int, normalization: str):
         self.in_use = False
-        self.samples = np.zeros((0,), np.float32)
-        self.frames = np.zeros((0, mel), np.float32)
-        self.n_frames_done = 0
+        # incremental fbank + running norm + tail flush: the shared
+        # host pipeline (one instance per stream, same class the B=1
+        # StreamingRecognizer uses — single source of truth)
+        self.fe = HostFrontend(mel, rate, normalization)
         self.hyp: list[int] = []
         self.prev_tok = -1
         self.finished = False
-        self.nsum = np.zeros((mel,), np.float64)
-        self.nsumsq = np.zeros((mel,), np.float64)
-        self.nn = 0
 
 
 class StreamHandle:
@@ -220,16 +217,7 @@ class StreamingBatch:
         self.beam_size = beam_size
         self.max_hyp_len = max_hyp_len
         self.cap = enc_capacity
-        self.frame_len = int(sample_rate * 0.025)
-        self.frame_shift = int(sample_rate * 0.010)
         self.win_frames = 4 * chunk_size + 3
-        self.frame_group = 16
-        self._group_samples = ((self.frame_group - 1) * self.frame_shift
-                               + self.frame_len)
-        # reuse the single-stream module's shared jitted fbank group fn
-        from openeat_tpu.decode.streaming import _get_fbank_group_fn
-        self._fbank_group = _get_fbank_group_fn(self.rate, self.mel,
-                                                self._group_samples)
         self._step = _get_step(model, chunk_size, self.left, self.cap,
                                blank_id)
         self._finalize_beam = jax.jit(prefix_beam_finalize)
@@ -256,7 +244,8 @@ class StreamingBatch:
             enc_buf=jnp.zeros((s, self.cap + chunk_size, model.d_model),
                               jnp.float32),
         )
-        self._slots = [_Slot(self.mel) for _ in range(s)]
+        self._slots = [_Slot(self.mel, self.rate, normalization)
+                       for _ in range(s)]
         self._beam0 = beam0
 
     # ---- slot lifecycle ----
@@ -273,7 +262,8 @@ class StreamingBatch:
         self._slots[handle.slot].in_use = False
 
     def _reset(self, i: int):
-        self._slots[i] = _Slot(self.mel)
+        self._slots[i] = _Slot(self.mel, self.rate,
+                               self.normalization)
         st = self.state
         self.state = BatchState(
             k=tuple(a.at[i].set(0) for a in st.k),
@@ -292,32 +282,7 @@ class StreamingBatch:
         sl = self._slots[handle.slot]
         assert not sl.finished, \
             "accept() after finish(); streams are one-shot"
-        sl.samples = np.concatenate([sl.samples,
-                                     np.asarray(wav, np.float32)])
-        self._extract_frames(sl)
-
-    def _extract_frames(self, sl: _Slot):
-        n_avail = fbank_mod.num_frames(len(sl.samples), self.frame_len,
-                                       self.frame_shift)
-        while n_avail - sl.n_frames_done >= self.frame_group:
-            s0 = sl.n_frames_done * self.frame_shift
-            seg = sl.samples[s0: s0 + self._group_samples]
-            feats = np.asarray(self._fbank_group(jnp.asarray(seg)),
-                               np.float32)
-            if self.normalization == "running":
-                sl.nsum += feats.sum(0)
-                sl.nsumsq += (feats.astype(np.float64) ** 2).sum(0)
-                sl.nn += feats.shape[0]
-            sl.frames = np.concatenate([sl.frames, feats], axis=0)
-            sl.n_frames_done += self.frame_group
-
-    def _normalize(self, sl: _Slot, window: np.ndarray) -> np.ndarray:
-        if self.normalization != "running" or sl.nn == 0:
-            return window
-        mean = (sl.nsum / sl.nn).astype(np.float32)
-        var = (sl.nsumsq / sl.nn - (sl.nsum / sl.nn) ** 2)
-        var = np.maximum(var, 0.0).astype(np.float32)
-        return (window - mean) / np.sqrt(var + 1e-8)
+        sl.fe.accept(wav)
 
     # ---- the batched chunk step ----
 
@@ -327,7 +292,7 @@ class StreamingBatch:
     def _ready(self, i: int) -> bool:
         sl = self._slots[i]
         return (sl.in_use and not sl.finished
-                and sl.frames.shape[0] - self._consumed(i)
+                and sl.fe.frames.shape[0] - self._consumed(i)
                 >= self.win_frames)
 
     def run_ready(self, force: dict[int, int] | None = None
@@ -348,11 +313,16 @@ class StreamingBatch:
                 run_short = i in force
                 if not (run_full or run_short):
                     continue
+                # a force entry is single-use either way: once this slot
+                # advances, the requested valid length refers to state
+                # that no longer exists, and a stale entry would re-run
+                # the slot over zero-padded feature rows next iteration
+                forced = force.pop(i, None)
                 sl = self._slots[i]
                 f0 = self._consumed(i)
-                w = self._normalize(sl, sl.frames[f0: f0 + self.win_frames])
+                w = sl.fe.window(f0, self.win_frames)
                 windows[i, : w.shape[0]] = w
-                valid[i] = self.chunk if run_full else force.pop(i)
+                valid[i] = self.chunk if run_full else forced
                 active[i] = True
             if not active.any():
                 return emitted
@@ -386,24 +356,8 @@ class StreamingBatch:
         if sl.finished:
             return list(sl.hyp)
         sl.finished = True
-        nf = fbank_mod.num_frames(len(sl.samples), self.frame_len,
-                                  self.frame_shift)
-        if nf > sl.n_frames_done:
-            s0 = sl.n_frames_done * self.frame_shift
-            seg = sl.samples[s0: s0 + self._group_samples]
-            if len(seg) < self._group_samples:
-                seg = np.concatenate(
-                    [seg, np.zeros((self._group_samples - len(seg),),
-                                   np.float32)])
-            feats = np.asarray(self._fbank_group(jnp.asarray(seg)),
-                               np.float32)[: nf - sl.n_frames_done]
-            if self.normalization == "running":
-                sl.nsum += feats.sum(0)
-                sl.nsumsq += (feats.astype(np.float64) ** 2).sum(0)
-                sl.nn += feats.shape[0]
-            sl.frames = np.concatenate([sl.frames, feats], axis=0)
-            sl.n_frames_done = nf
-        t_total = ((sl.frames.shape[0] - 1) // 2 - 1) // 2
+        sl.fe.flush_tail()
+        t_total = sl.fe.t_total()
         # t_total - offset > chunk guarantees 4*chunk+3 real feature
         # frames remain, so these forced chunks are full (valid=chunk);
         # only the last one runs short and masks its padding
@@ -422,6 +376,9 @@ class StreamingBatch:
                                 self.state.enc_buf[i, : self.cap],
                                 enc_len, nb, nl, ns)
         toks = [int(t) for t in np.asarray(best[0])[: int(best_lens[0])]]
+        # make finish() idempotent: result()/a second finish() must
+        # return the rescored hypothesis, not the greedy partial
+        sl.hyp = list(toks)
         return toks
 
     def encoder_out(self, handle: StreamHandle) -> np.ndarray:

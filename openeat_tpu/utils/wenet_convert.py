@@ -218,6 +218,7 @@ def convert_wenet_config(cfg: dict) -> dict:
     enc = dict(cfg.get("encoder_conf", {}) or {})
     dec = dict(cfg.get("decoder_conf", {}) or {})
     loss = dict(cfg.get("model_conf", {}) or {})
+    is_conformer = cfg.get("encoder", "conformer") == "conformer"
     mc: dict = {
         "d_model": enc.get("output_size", 256),
         "attention_heads": enc.get("attention_heads", 4),
@@ -226,7 +227,11 @@ def convert_wenet_config(cfg: dict) -> dict:
         "dropout_rate": enc.get("dropout_rate", 0.1),
         "positional_dropout_rate": enc.get("positional_dropout_rate", 0.1),
         "input_layer": enc.get("input_layer", "conv2d"),
-        "pos_enc_layer_type": enc.get("pos_enc_layer_type", "rel_pos"),
+        # WeNet's per-encoder defaults differ: ConformerEncoder rel_pos,
+        # TransformerEncoder abs_pos (wenet transformer/encoder.py) — a
+        # wrong default builds rel-pos params the checkpoint lacks
+        "pos_enc_layer_type": enc.get(
+            "pos_enc_layer_type", "rel_pos" if is_conformer else "abs_pos"),
         "activation": enc.get("activation_type", "swish"),
         "causal": bool(enc.get("causal", False)),
         "static_chunk_size": enc.get("static_chunk_size", 0),
@@ -241,14 +246,13 @@ def convert_wenet_config(cfg: dict) -> dict:
         "length_normalized_loss": bool(loss.get("length_normalized_loss",
                                                 False)),
     }
-    if cfg.get("encoder", "conformer") == "conformer":
+    if is_conformer:
         mc["use_cnn_module"] = bool(enc.get("use_cnn_module", True))
         mc["cnn_module_kernel"] = enc.get("cnn_module_kernel", 15)
         mc["macaron_style"] = bool(enc.get("macaron_style", True))
     else:  # plain transformer encoder
         mc["use_cnn_module"] = False
         mc["macaron_style"] = False
-        mc.setdefault("pos_enc_layer_type", "abs_pos")
     out: dict = {"model_conf": mc}
     ds = dict(cfg.get("dataset_conf", {}) or {})
     fbank = dict(ds.get("fbank_conf", {}) or {})

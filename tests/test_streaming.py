@@ -144,41 +144,34 @@ def test_dynamic_chunk_training(rng):
 
 
 def test_running_normalization_stats():
-    """The causal running normalizer matches a numpy oracle of
-    frames-so-far statistics (the streamable stand-in for the training
-    frontend's per-utt normalization)."""
-    from openeat_tpu.decode.streaming import StreamingRecognizer
+    """The causal running normalizer (HostFrontend, shared by both
+    runtimes) matches a numpy oracle of frames-so-far statistics (the
+    streamable stand-in for the training frontend's per-utt
+    normalization)."""
+    from openeat_tpu.decode.streaming import HostFrontend
 
     rng = np.random.default_rng(0)
-    sr = StreamingRecognizer.__new__(StreamingRecognizer)  # math only
-    sr.normalization = "running"
-    sr.mel = 4
-    sr._nsum = np.zeros((4,), np.float64)
-    sr._nsumsq = np.zeros((4,), np.float64)
-    sr._nn = 0
+    fe = HostFrontend(4, 16000, "running")
     seen = []
     for _ in range(5):
         feats = rng.standard_normal((16, 4)).astype(np.float32) * 3 + 7
-        sr._nsum += feats.sum(0)
-        sr._nsumsq += (feats.astype(np.float64) ** 2).sum(0)
-        sr._nn += feats.shape[0]
+        fe._ingest(feats)
         seen.append(feats)
-        window = feats[-8:]
-        got = sr._normalize(window)
+        got = fe.window(fe.frames.shape[0] - 8, 8)
         all_seen = np.concatenate(seen, axis=0)
         mean = all_seen.mean(0)
         var = all_seen.var(0)
-        want = (window - mean) / np.sqrt(var + 1e-8)
+        want = (all_seen[-8:] - mean) / np.sqrt(var + 1e-8)
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
 def test_running_norm_none_is_identity():
-    from openeat_tpu.decode.streaming import StreamingRecognizer
+    from openeat_tpu.decode.streaming import HostFrontend
 
-    sr = StreamingRecognizer.__new__(StreamingRecognizer)
-    sr.normalization = "none"
-    w = np.ones((3, 2), np.float32) * 5
-    np.testing.assert_array_equal(sr._normalize(w), w)
+    fe = HostFrontend(2, 16000, "none")
+    fe._ingest(np.ones((3, 2), np.float32) * 5)
+    np.testing.assert_array_equal(fe.window(0, 3),
+                                  np.ones((3, 2), np.float32) * 5)
 
 
 def test_streaming_finish_flushes_tail(rng):

@@ -39,14 +39,19 @@ def read_trn(path: str) -> dict:
 
 
 def per_utt_errors(refs, hyps, char_mode=True):
-    """Arrays (errors, ref_len) over the common utterance set, and the
-    utterance keys in iteration order."""
+    """Arrays (errors, ref_len) over EVERY reference utterance (a
+    missing hypothesis scores as all-deletions, matching
+    tools/compute_wer.py), plus the keys in iteration order."""
     tok = characterize if char_mode else wordize
-    keys = [k for k in refs if k in hyps]
+    keys = list(refs)
+    missing = sum(1 for k in keys if k not in hyps)
+    if missing:
+        print(f"warning: {missing}/{len(keys)} ref utts have no "
+              "hypothesis — scored as deletions", file=sys.stderr)
     errs = np.zeros(len(keys), np.int64)
     lens = np.zeros(len(keys), np.int64)
     for i, k in enumerate(keys):
-        s = align(tok(refs[k]), tok(hyps[k]))
+        s = align(tok(refs[k]), tok(hyps.get(k, "")))
         errs[i] = s.errors
         lens[i] = s.ref_len
     return errs, lens, keys
