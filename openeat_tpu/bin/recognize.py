@@ -27,7 +27,8 @@ from openeat_tpu.dataset.text import load_dict, token_ids_to_text
 from openeat_tpu.decode.attention_beam import recognize as attention_decode
 from openeat_tpu.decode.ctc_greedy import ctc_greedy_search
 from openeat_tpu.decode.ctc_prefix_beam import ctc_prefix_beam_search
-from openeat_tpu.decode.rescoring import attention_rescoring
+from openeat_tpu.decode.rescoring import (attention_rescoring,
+                                          rescoring_scores)
 from openeat_tpu.models.asr_model import ASRModel, build_asr_model
 from openeat_tpu.models.language_model import (LanguageModel,
                                                build_language_model)
@@ -195,6 +196,11 @@ def main(argv=None):
         lm_logp_fn=lm_logp_fn,
         lm_weight=args.lm_weight if lm_logp_fn else 0.0,
         lm_style=lm_style))
+    rescore_scores = jax.jit(
+        lambda enc, lens, nb, nl, ns: rescoring_scores(
+            model, params, enc, lens, nb, nl, ns,
+            ctc_weight=args.ctc_weight,
+            reverse_weight=args.reverse_weight))
 
     n_done = 0
     os.makedirs(os.path.dirname(os.path.abspath(args.result_file)),
@@ -231,7 +237,7 @@ def main(argv=None):
                     # host n-gram rescoring over the nbest (kenlm path,
                     # reference asr_model.py:514-516)
                     hyps, hyp_lens = _ngram_rescore(
-                        model, params, enc, enc_lens, nbest, nbest_lens,
+                        rescore_scores, enc, enc_lens, nbest, nbest_lens,
                         nbest_scores, ngram, id2tok, args)
             hyps = np.asarray(hyps)
             hyp_lens = np.asarray(hyp_lens)
@@ -244,39 +250,27 @@ def main(argv=None):
     logger.info("wrote %s", args.result_file)
 
 
-def _ngram_rescore(model, params, enc, enc_lens, nbest, nbest_lens,
+def _ngram_rescore(rescore_scores, enc, enc_lens, nbest, nbest_lens,
                    nbest_scores, ngram, id2tok, args):
-    """attention + ctc + host n-gram combined rescoring."""
-    b, k, l = nbest.shape
-    from openeat_tpu.decode.rescoring import _gather_token_scores
-    from openeat_tpu.utils.common import add_sos_eos, reverse_pad_list
-    flat = nbest.reshape(b * k, l)
-    flens = nbest_lens.reshape(b * k).astype(jnp.int32)
-    ys_in, _ = add_sos_eos(flat, flens, model.sos, model.eos)
-    mem = jnp.repeat(enc, k, axis=0)
-    mem_l = jnp.repeat(enc_lens, k, axis=0)
-    logp = model.apply(params, mem, mem_l, ys_in, flens + 1,
-                       method=ASRModel.decoder_logits)
-    score = _gather_token_scores(logp, flat, flens, model.eos)
-    if args.reverse_weight > 0:
-        r = reverse_pad_list(flat, flens, IGNORE_ID)
-        r_in, _ = add_sos_eos(r, flens, model.sos, model.eos)
-        r_logp = model.apply(params, mem, mem_l, r_in, flens + 1, True,
-                             method=ASRModel.decoder_logits)
-        r_score = _gather_token_scores(r_logp, r, flens, model.eos)
-        score = (1 - args.reverse_weight) * score \
-            + args.reverse_weight * r_score
+    """attention + ctc + host n-gram combined rescoring.
+
+    The neural part (attention + reverse + ctc_weight*ctc, with dead
+    beams pinned to -1e30) is ONE jitted call returning the full [B, K]
+    score matrix — scoring it op-by-op here used to dominate LM-fusion
+    decodes over the remote-dispatch tunnel (~2.3 s/utt); only the
+    n-gram lookups stay on the host (kenlm-path parity,
+    reference asr_model.py:514-516)."""
+    b, k, _ = nbest.shape
     # np.asarray of a jax array is a READ-ONLY view; copy before the
     # in-place host-side accumulation below
-    score = np.array(score).reshape(b, k)
-    score += args.ctc_weight * np.asarray(nbest_scores)
+    score = np.array(rescore_scores(enc, enc_lens, nbest, nbest_lens,
+                                    nbest_scores))
     for bi in range(b):
         for ki in range(k):
             toks = [id2tok.get(int(t), "<unk>")
                     for t in nbest[bi, ki][: int(nbest_lens[bi, ki])]]
             score[bi, ki] += args.lm_weight * ngram.score(
                 " ".join(toks), bos=True, eos=True)
-    score = np.where(np.isfinite(np.asarray(nbest_scores)), score, -1e30)
     best = score.argmax(axis=1)
     return (np.asarray(nbest)[np.arange(b), best],
             np.asarray(nbest_lens)[np.arange(b), best])

@@ -63,6 +63,29 @@ def attention_rescoring(model, params, encoder_out: jax.Array,
 
     Returns (best hyps [B, L], best lens [B], best scores [B]).
     """
+    score = rescoring_scores(
+        model, params, encoder_out, encoder_lens, hyps, hyp_lens,
+        ctc_scores, ctc_weight=ctc_weight, reverse_weight=reverse_weight,
+        lm_logp_fn=lm_logp_fn, lm_weight=lm_weight, lm_style=lm_style)
+    b = hyps.shape[0]
+    best = jnp.argmax(score, axis=1)
+    best_hyps = hyps[jnp.arange(b), best]
+    best_lens = hyp_lens[jnp.arange(b), best]
+    best_scores = score[jnp.arange(b), best]
+    return best_hyps, best_lens, best_scores
+
+
+def rescoring_scores(model, params, encoder_out: jax.Array,
+                     encoder_lens: jax.Array, hyps: jax.Array,
+                     hyp_lens: jax.Array, ctc_scores: jax.Array, *,
+                     ctc_weight: float = 0.5, reverse_weight: float = 0.0,
+                     lm_logp_fn=None, lm_weight: float = 0.0,
+                     lm_style: str = "ar") -> jax.Array:
+    """Combined rescoring score for EVERY nbest candidate, [B, K]
+    (attention + reverse + ctc_weight*ctc [+ neural-LM fusion]; dead
+    beams pinned to -1e30). attention_rescoring() is the argmax over
+    this; host-side n-gram fusion (bin/recognize._ngram_rescore) adds
+    its term to this matrix in one jitted call per batch."""
     b, k, l = hyps.shape
     m = b * k
     flat_hyps = hyps.reshape(m, l)
@@ -112,9 +135,4 @@ def attention_rescoring(model, params, encoder_out: jax.Array,
 
     score = score.reshape(b, k)
     # dead beams (score -inf from the prefix search) can never win
-    score = jnp.where(jnp.isfinite(ctc_scores), score, -1.0e30)
-    best = jnp.argmax(score, axis=1)
-    best_hyps = hyps[jnp.arange(b), best]
-    best_lens = hyp_lens[jnp.arange(b), best]
-    best_scores = score[jnp.arange(b), best]
-    return best_hyps, best_lens, best_scores
+    return jnp.where(jnp.isfinite(ctc_scores), score, -1.0e30)

@@ -108,3 +108,44 @@ def test_wer_scorer_basics():
     t = corpus_wer(refs, hyps2)
     assert t.sub == 1 and t.dele == 1
     np.testing.assert_allclose(t.wer, 100.0 * 2 / 6)
+
+
+def test_ngram_fusion_decode(trained):
+    """attention_rescoring + host n-gram fusion (_ngram_rescore): a
+    first-party-trained ARPA fuses through the jitted score matrix; at
+    a vanishing lm_weight the selection equals plain rescoring
+    (equivalence property), and at a real weight every utterance still
+    decodes."""
+    import subprocess
+    import sys
+    arpa = os.path.join(trained["root"], "lm.arpa")
+    subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(__file__), "..", "tools",
+                      "train_ngram.py"),
+         trained["text"], arpa, "--order", "2", "--tokenizer", "char"],
+        check=True)
+
+    def decode(out_name, extra):
+        out = os.path.join(trained["root"], out_name)
+        recognize.main([
+            "--config", os.path.join(trained["exp"], "train.yaml"),
+            "--checkpoint", os.path.join(trained["exp"], "epoch_3"),
+            "--test_data", trained["manifest"],
+            "--dict", trained["dict"],
+            "--result_file", out,
+            "--mode", "attention_rescoring",
+            "--batch_size", "6", "--beam_size", "4",
+            "--reverse_weight", "0.3", "--max_hyp_len", "16"] + extra)
+        with open(out, encoding="utf-8") as f:
+            return {ln.split(None, 1)[0]: (ln.split(None, 1) + [""])[1].strip()
+                    for ln in f if ln.strip()}
+
+    plain = decode("hyp_plain.txt", [])
+    tiny_w = decode("hyp_lm0.txt", ["--ngram_lm", arpa,
+                                    "--lm_weight", "1e-9"])
+    fused = decode("hyp_lm.txt", ["--ngram_lm", arpa,
+                                  "--lm_weight", "0.3"])
+    assert set(plain) == set(trained["texts"]) == set(fused)
+    assert tiny_w == plain, \
+        "lm_weight->0 fusion diverged from plain rescoring"
