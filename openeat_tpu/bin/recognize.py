@@ -231,14 +231,15 @@ def main(argv=None):
                 nbest, nbest_lens, nbest_scores = ctc_prefix_beam_search(
                     ctc_logp(enc), enc_lens, beam_size=args.beam_size,
                     max_hyp_len=args.max_hyp_len)
-                hyps, hyp_lens, _ = rescore(enc, enc_lens, nbest,
-                                            nbest_lens, nbest_scores)
                 if ngram is not None and args.lm_weight > 0:
                     # host n-gram rescoring over the nbest (kenlm path,
                     # reference asr_model.py:514-516)
                     hyps, hyp_lens = _ngram_rescore(
                         rescore_scores, enc, enc_lens, nbest, nbest_lens,
                         nbest_scores, ngram, id2tok, args)
+                else:
+                    hyps, hyp_lens, _ = rescore(enc, enc_lens, nbest,
+                                                nbest_lens, nbest_scores)
             hyps = np.asarray(hyps)
             hyp_lens = np.asarray(hyp_lens)
             for i, key in enumerate(keys):
@@ -265,15 +266,19 @@ def _ngram_rescore(rescore_scores, enc, enc_lens, nbest, nbest_lens,
     # in-place host-side accumulation below
     score = np.array(rescore_scores(enc, enc_lens, nbest, nbest_lens,
                                     nbest_scores))
+    # materialize ONCE: per-candidate indexing of device-resident
+    # arrays is a device->host round-trip each (640/batch over the
+    # remote tunnel dominated the whole fusion decode)
+    nbest_np = np.asarray(nbest)
+    lens_np = np.asarray(nbest_lens)
     for bi in range(b):
         for ki in range(k):
             toks = [id2tok.get(int(t), "<unk>")
-                    for t in nbest[bi, ki][: int(nbest_lens[bi, ki])]]
+                    for t in nbest_np[bi, ki][: int(lens_np[bi, ki])]]
             score[bi, ki] += args.lm_weight * ngram.score(
                 " ".join(toks), bos=True, eos=True)
     best = score.argmax(axis=1)
-    return (np.asarray(nbest)[np.arange(b), best],
-            np.asarray(nbest_lens)[np.arange(b), best])
+    return (nbest_np[np.arange(b), best], lens_np[np.arange(b), best])
 
 
 if __name__ == "__main__":
