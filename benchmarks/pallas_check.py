@@ -62,11 +62,9 @@ def check_ctc_variant(name, b, t, v, l_max, want_kernel):
     rng = np.random.default_rng(0)
     logp, il, lab, ll = make_ctc_case(rng, b, t, v, l_max)
     # confirm the shape actually dispatches to the intended variant
+    # (via the library's own dispatch rule — single source of truth)
     z, s_lens = cl.extended_labels(lab, ll, 0)
-    s_pad = cl._round_up(int(z.shape[1]), 128)
-    b_pad = cl._round_up(b, 8)
-    batched = 4 * t * b_pad * s_pad * 4 <= cl._BATCHED_VMEM_BUDGET
-    got_kernel = "batched" if batched else "grid"
+    got_kernel = cl.dispatch_variant(b, t, int(z.shape[1]))
     loss_p, grad_p = loss_and_grad(logp, il, lab, ll, True)
     loss_s, grad_s = loss_and_grad(logp, il, lab, ll, False)
     dl = float(np.max(np.abs(loss_p - loss_s)))

@@ -40,7 +40,8 @@ mkdir -p "$work"
 cd "$work"
 
 if [ ! -f data/train/wav.scp ]; then
-  echo "=== corpus [$profile] (10240 train / 512 dev / 512 test) ==="
+  n_test=512; [ "$profile" = hard ] && n_test=2048
+  echo "=== corpus [$profile] (10240 train / 512 dev / $n_test test) ==="
   python "$repo_root/benchmarks/make_structured_corpus.py" "$work" \
     $corpus_flags
 fi

@@ -16,7 +16,6 @@ import argparse
 import os
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from openeat_tpu.config import load_config
@@ -35,7 +34,7 @@ from openeat_tpu.models.language_model import (LanguageModel,
 from openeat_tpu.ops.frontend import FrontendConfig
 from openeat_tpu.pipeline import DeviceFeeder
 from openeat_tpu.utils import checkpoint as ckpt_lib
-from openeat_tpu.utils.common import IGNORE_ID, init_logger
+from openeat_tpu.utils.common import init_logger
 
 MODES = ["ctc_greedy_search", "ctc_prefix_beam_search", "attention",
          "attention_rescoring"]

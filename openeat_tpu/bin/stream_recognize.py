@@ -42,10 +42,11 @@ def get_parser():
                         "runtime (decode/streaming_batch.py)")
     p.add_argument("--final_mode", default="attention_rescoring",
                    choices=["ctc_greedy_search", "attention_rescoring"],
-                   help="slots>1 only: end-of-stream finalization — live "
-                        "partials are always CTC greedy; rescoring runs "
-                        "prefix-beam + forward/reverse decoder over the "
-                        "accumulated encoder output")
+                   help="end-of-stream finalization — live partials are "
+                        "always CTC greedy; rescoring runs prefix-beam + "
+                        "forward/reverse decoder over the accumulated "
+                        "encoder output (any slot count; greedy at "
+                        "slots=1 additionally reports per-piece latency)")
     p.add_argument("--beam_size", type=int, default=10)
     p.add_argument("--ctc_weight", type=float, default=0.5)
     p.add_argument("--reverse_weight", type=float, default=0.0)
@@ -79,7 +80,10 @@ def main(argv=None):
             "normalization; streaming uses causal running "
             "normalization (approximate). For production streaming "
             "train with --cmvn_file (global CMVN) instead.")
-    if args.slots > 1:
+    # rescoring finalization lives in the batched runtime; honor it at
+    # any slot count (S=1 is one lockstep stream) rather than silently
+    # downgrading a slots=1 run to greedy output
+    if args.slots > 1 or args.final_mode == "attention_rescoring":
         return _run_batched(args, logger, model, params, utts, id2tok,
                             norm)
     lat = []

@@ -247,6 +247,12 @@ class StreamingBatch:
         self._slots = [_Slot(self.mel, self.rate, normalization)
                        for _ in range(s)]
         self._beam0 = beam0
+        # host mirror of state.offset: the device value advances by
+        # exactly `chunk` per active step, so scheduling reads
+        # (_ready/finish) never need a per-slot device scalar fetch —
+        # over the remote tunnel each int(state.offset[i]) is a full
+        # round trip, dozens per 200 ms audio piece at S=16
+        self._offset_host = np.zeros((s,), np.int64)
 
     # ---- slot lifecycle ----
 
@@ -275,6 +281,7 @@ class StreamingBatch:
                               st.beam, self._beam0),
             enc_buf=st.enc_buf.at[i].set(0),
         )
+        self._offset_host[i] = 0
 
     # ---- audio in ----
 
@@ -287,7 +294,7 @@ class StreamingBatch:
     # ---- the batched chunk step ----
 
     def _consumed(self, i: int) -> int:
-        return 4 * int(self.state.offset[i])
+        return 4 * int(self._offset_host[i])
 
     def _ready(self, i: int) -> bool:
         sl = self._slots[i]
@@ -329,6 +336,7 @@ class StreamingBatch:
             self.state, toks = self._step(
                 self.params, self.state, jnp.asarray(windows),
                 jnp.asarray(valid), jnp.asarray(active))
+            self._offset_host[active] += self.chunk
             toks = np.asarray(toks)
             for i in range(self.S):
                 if not active[i]:
@@ -361,9 +369,9 @@ class StreamingBatch:
         # t_total - offset > chunk guarantees 4*chunk+3 real feature
         # frames remain, so these forced chunks are full (valid=chunk);
         # only the last one runs short and masks its padding
-        while t_total - int(self.state.offset[i]) > self.chunk:
+        while t_total - int(self._offset_host[i]) > self.chunk:
             self.run_ready(force={i: self.chunk})
-        remaining = t_total - int(self.state.offset[i])
+        remaining = t_total - int(self._offset_host[i])
         if remaining > 0:
             self.run_ready(force={i: remaining})
         if not rescore:
@@ -384,5 +392,5 @@ class StreamingBatch:
     def encoder_out(self, handle: StreamHandle) -> np.ndarray:
         """Accumulated encoder output rows for tests."""
         i = handle.slot
-        n = min(int(self.state.offset[i]), self.cap)
+        n = min(int(self._offset_host[i]), self.cap)
         return np.asarray(self.state.enc_buf[i, :n])

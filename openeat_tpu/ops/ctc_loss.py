@@ -373,17 +373,30 @@ def _ctc_pallas_batched(label_logp, input_lens, s_lens, allow2,
 _GRID_KERNEL_MAX_BATCH = 256  # larger grids overflow SMEM (measured)
 
 
+def dispatch_variant(b: int, t: int, s: int) -> str | None:
+    """Which kernel variant the (B, T, S) problem dispatches to:
+    'batched' (whole DP in VMEM), 'grid' (per-utt grid), or None (the
+    pure-JAX scan fallback). Single source of truth for the dispatch
+    rule — benchmarks/pallas_check.py keys its real-chip gate on this."""
+    s_pad = _round_up(s, 128)
+    b_pad = _round_up(b, 8)
+    if 4 * t * b_pad * s_pad * 4 <= _BATCHED_VMEM_BUDGET:
+        return "batched"
+    if b <= _GRID_KERNEL_MAX_BATCH:
+        return "grid"
+    return None
+
+
 def _pallas_dispatch(label_logp, input_lens, s_lens, allow2,
                      interpret=False):
     """Pick a kernel variant by shape; None = caller should use the
     pure-JAX scan path (giant batches whose grids overflow SMEM)."""
     b, t, s = label_logp.shape
-    s_pad = _round_up(s, 128)
-    b_pad = _round_up(b, 8)
-    if 4 * t * b_pad * s_pad * 4 <= _BATCHED_VMEM_BUDGET:
+    variant = dispatch_variant(b, t, s)
+    if variant == "batched":
         return _ctc_pallas_batched(label_logp, input_lens, s_lens, allow2,
                                    interpret)
-    if b <= _GRID_KERNEL_MAX_BATCH:
+    if variant == "grid":
         return _ctc_pallas(label_logp, input_lens, s_lens, allow2,
                            interpret)
     return None

@@ -265,6 +265,12 @@ def convert_wenet_config(cfg: dict) -> dict:
                                     "resample_rate": 16000,
                                     "wav_dither": 0.0},
         "spec_aug": False,
+        # WeNet's pipeline feeds RAW fbank (global CMVN lives inside the
+        # checkpoint, applied by the encoder); the framework frontend
+        # defaults to per-utterance normalization, which would stack on
+        # top of the checkpoint's CMVN (double normalization) — same
+        # exclusivity train.py:143-160 enforces on the train path.
+        "normalization": False,
     }
     out["dataset_conf"] = {"max_length": ds.get("max_length", 10240),
                            "min_length": ds.get("min_length", 0)}

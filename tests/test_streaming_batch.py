@@ -225,7 +225,11 @@ def test_stream_recognize_cli_slots(tmp_path):
             return {ln.split(None, 1)[0]: (ln.split(None, 1) + [""])[1].strip()
                     for ln in f if ln.strip()}
 
-    h1 = run([], "h1.txt")
+    # greedy finalization on both sides: slots=1 + greedy takes the
+    # sequential B=1 runtime, slots=4 the batched lockstep runtime
+    # (the default final_mode=attention_rescoring is honored at ANY
+    # slot count, so the greedy comparison must ask for greedy)
+    h1 = run(["--final_mode", "ctc_greedy_search"], "h1.txt")
     h4 = run(["--slots", "4", "--final_mode", "ctc_greedy_search"],
              "h4.txt")
     assert set(h1) == set(data["texts"]) == set(h4)
@@ -234,3 +238,8 @@ def test_stream_recognize_cli_slots(tmp_path):
               "--reverse_weight", "0.3", "--enc_capacity", "64"],
              "hr.txt")
     assert set(hr) == set(data["texts"])
+    # slots=1 with the default (rescoring) final_mode routes through the
+    # batched runtime as one lockstep stream — same hypotheses as S=3
+    hr1 = run(["--reverse_weight", "0.3", "--enc_capacity", "64"],
+              "hr1.txt")
+    assert hr1 == hr, "slots=1 rescoring diverged from slots=3"

@@ -139,3 +139,24 @@ def test_partial_init_with_converted(rng):
     new, copied = load_trained_modules(params, conv,
                                        ["encoder", "ctc", "decoder"])
     assert len(copied) > 50
+
+
+def test_convert_config_disables_per_utt_normalization():
+    """A converted WeNet config must feed RAW fbank: the checkpoint's
+    global CMVN (applied inside the encoder) and the frontend's per-utt
+    normalization are exclusive (train.py enforces this on the train
+    path; the convert path must emit the flag itself)."""
+    from openeat_tpu.ops.frontend import FrontendConfig
+    from openeat_tpu.utils.wenet_convert import convert_wenet_config
+
+    wcfg = {"encoder": "conformer",
+            "encoder_conf": {"output_size": 256, "attention_heads": 4},
+            "decoder": "bitransformer",
+            "decoder_conf": {"num_blocks": 3, "r_num_blocks": 3},
+            "model_conf": {"ctc_weight": 0.3},
+            "dataset_conf": {"fbank_conf": {"num_mel_bins": 80}},
+            "output_dim": 4233}
+    cfg = convert_wenet_config(wcfg)
+    assert cfg["collate_conf"]["normalization"] is False
+    fe = FrontendConfig.from_collate_conf(cfg["collate_conf"])
+    assert fe.normalization is False
