@@ -1,0 +1,49 @@
+#!/usr/bin/env bash
+# Decode operating-point sweep on the DEV set of a trained recipe work
+# dir (tune on dev, report on test — the methodology behind the
+# r3_recipe_hard results): attention_rescoring CER as a function of
+# --ctc_weight, plus n-gram LM-fusion weight probes. The reference
+# exposes the same knobs (reference openeat/bin/recognize.py args) but
+# ships no tuning driver; this scripts the loop the reference README's
+# tables imply.
+#
+# Usage: PYTHONPATH=/root/repo:/root/.axon_site \
+#        bash benchmarks/sweep_operating_point.sh [work] [out_dir]
+# `work` must hold a completed run_recipe_tpu.sh layout (exp/train.yaml,
+# exp/avg_best3, data/dev). One TPU client at a time — never run this
+# concurrently with bench.py or another drive.
+set -uo pipefail
+
+work=${1:-/tmp/recipe_hard}
+out=${2:-$work/exp/sweep}
+repo_root="$(cd "$(dirname "$0")/.." && pwd)"
+export PYTHONPATH="$repo_root:${PYTHONPATH:-}"
+export JAX_COMPILATION_CACHE_DIR=/tmp/jax_compile_cache
+exp_dir=$work/exp
+cd "$work"
+mkdir -p "$out"
+
+run() {
+  tag=$1; shift
+  echo "=== $tag $(date +%H:%M:%S) ==="
+  python -m openeat_tpu.bin.recognize \
+    --config "$exp_dir/train.yaml" --checkpoint "$exp_dir/avg_best3" \
+    --test_data data/dev/format.data --dict data/dict.txt \
+    --mode attention_rescoring --batch_size 64 --beam_size 10 \
+    --reverse_weight 0.3 --max_hyp_len 24 \
+    --result_file "$out/dev_hyp_$tag.txt" "$@" \
+    > "$out/$tag.log" 2>&1 \
+    || { echo "$tag FAILED (see $out/$tag.log)"; return 1; }
+  python "$repo_root/tools/compute_wer.py" data/dev/text \
+    "$out/dev_hyp_$tag.txt" | tail -1 | sed "s/^/$tag /" \
+    | tee -a "$out/summary.txt"
+}
+
+run cw0.3 --ctc_weight 0.3
+run cw0.5 --ctc_weight 0.5
+run cw0.8 --ctc_weight 0.8
+run cw1.2 --ctc_weight 1.2
+run cw2.0 --ctc_weight 2.0
+run cw0.5_lm0.1 --ctc_weight 0.5 --ngram_lm "$exp_dir/lm.arpa" --lm_weight 0.1
+run cw0.8_lm0.1 --ctc_weight 0.8 --ngram_lm "$exp_dir/lm.arpa" --lm_weight 0.1
+echo SWEEP_DONE
