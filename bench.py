@@ -155,7 +155,8 @@ def main():
                 text=True, timeout=1800, check=True)
             flops_per_step = json.loads(out.stdout.strip().splitlines()[-1]
                                         )["flops_per_step"]
-            flops_src = "cpu_lowering"
+            flops_src = ("cpu_lowering" if flops_per_step
+                         else "unavailable")
         except Exception:
             flops_src = "unavailable"
     # bf16 dense peak per chip; device_kind strings as the axon/libtpu

@@ -39,11 +39,22 @@ fi
 mkdir -p "$work"
 cd "$work"
 
+# a work dir is bound to ONE corpus profile: reusing a v1 corpus under
+# the hard label (or vice versa) would silently mislabel every result
+if [ -f data/.corpus_profile ] && \
+   [ "$(cat data/.corpus_profile)" != "$profile" ]; then
+  echo "ERROR: $work was generated with profile" \
+       "'$(cat data/.corpus_profile)', requested '$profile';" \
+       "use a fresh work dir" >&2
+  exit 1
+fi
+
 if [ ! -f data/train/wav.scp ]; then
   n_test=512; [ "$profile" = hard ] && n_test=2048
   echo "=== corpus [$profile] (10240 train / 512 dev / $n_test test) ==="
   python "$repo_root/benchmarks/make_structured_corpus.py" "$work" \
     $corpus_flags
+  echo "$profile" > data/.corpus_profile
 fi
 
 if [ ! -f data/train/format.data ]; then

@@ -69,7 +69,12 @@ class HostFrontend:
     group is zero-padded but over-count frames are discarded.
     "running" normalization applies the training frontend's per-utt
     mean/var formula with frames-so-far statistics (the streamable
-    causal approximation; use global CMVN models for exactness)."""
+    causal approximation; use global CMVN models for exactness).
+
+    Host memory is bounded for arbitrarily long streams: samples
+    already folded into extracted frames and frames behind the
+    consumer's window are trimmed (both buffers keep an absolute base
+    index, so the public API stays in absolute positions)."""
 
     FRAME_GROUP = 16
 
@@ -84,11 +89,23 @@ class HostFrontend:
         self._fbank_group = _get_fbank_group_fn(rate, mel,
                                                 self.group_samples)
         self.samples = np.zeros((0,), np.float32)
+        self._samples_base = 0   # absolute index of samples[0]
         self.frames = np.zeros((0, mel), np.float32)
+        self._frames_base = 0    # absolute index of frames[0]
         self.n_frames_done = 0
         self._nsum = np.zeros((mel,), np.float64)
         self._nsumsq = np.zeros((mel,), np.float64)
         self._nn = 0
+
+    @property
+    def n_samples(self) -> int:
+        """Absolute count of samples accepted so far."""
+        return self._samples_base + len(self.samples)
+
+    @property
+    def n_frames(self) -> int:
+        """Absolute count of fbank frames extracted so far."""
+        return self._frames_base + self.frames.shape[0]
 
     def accept(self, wav) -> None:
         self.samples = np.concatenate([self.samples,
@@ -102,24 +119,32 @@ class HostFrontend:
             self._nn += feats.shape[0]
         self.frames = np.concatenate([self.frames, feats], axis=0)
 
+    def _trim_samples(self) -> None:
+        # samples before the next group's start are never re-read
+        cut = self.n_frames_done * self.frame_shift - self._samples_base
+        if cut > 0:
+            self.samples = self.samples[cut:]
+            self._samples_base += cut
+
     def _extract_full_groups(self) -> None:
-        n_avail = fbank_mod.num_frames(len(self.samples), self.frame_len,
+        n_avail = fbank_mod.num_frames(self.n_samples, self.frame_len,
                                        self.frame_shift)
         while n_avail - self.n_frames_done >= self.FRAME_GROUP:
-            s0 = self.n_frames_done * self.frame_shift
+            s0 = self.n_frames_done * self.frame_shift - self._samples_base
             seg = self.samples[s0: s0 + self.group_samples]
             feats = np.asarray(self._fbank_group(jnp.asarray(seg)),
                                np.float32)
             self._ingest(feats)
             self.n_frames_done += self.FRAME_GROUP
+        self._trim_samples()
 
     def flush_tail(self) -> None:
         """Extract the final sub-group frames (end of stream)."""
-        nf = fbank_mod.num_frames(len(self.samples), self.frame_len,
+        nf = fbank_mod.num_frames(self.n_samples, self.frame_len,
                                   self.frame_shift)
         if nf <= self.n_frames_done:
             return
-        s0 = self.n_frames_done * self.frame_shift
+        s0 = self.n_frames_done * self.frame_shift - self._samples_base
         seg = self.samples[s0: s0 + self.group_samples]
         if len(seg) < self.group_samples:
             seg = np.concatenate(
@@ -129,15 +154,22 @@ class HostFrontend:
                            np.float32)[: nf - self.n_frames_done]
         self._ingest(feats)
         self.n_frames_done = nf
+        self._trim_samples()
 
     def t_total(self) -> int:
         """Subsampled (conv2d /4) output count of the frames so far."""
-        return ((self.frames.shape[0] - 1) // 2 - 1) // 2
+        return ((self.n_frames - 1) // 2 - 1) // 2
 
     def window(self, f0: int, n: int) -> np.ndarray:
-        """Normalized feature window [<=n, mel] starting at frame f0
-        (short only at the end of the stream — caller pads)."""
-        w = self.frames[f0: f0 + n]
+        """Normalized feature window [<=n, mel] starting at ABSOLUTE
+        frame f0 (short only at the end of the stream — caller pads).
+        Consumers read monotonically increasing f0, so frames behind f0
+        are trimmed here (long-stream memory bound)."""
+        cut = f0 - self._frames_base
+        if cut > 0:
+            self.frames = self.frames[cut:]
+            self._frames_base = f0
+        w = self.frames[f0 - self._frames_base: f0 - self._frames_base + n]
         if self.normalization != "running" or self._nn == 0:
             return w
         mean = (self._nsum / self._nn).astype(np.float32)
@@ -258,7 +290,7 @@ class StreamingRecognizer:
             "accept_waveform() after finish(); streams are one-shot"
         self.fe.accept(wav)
         emitted = []
-        while (self.fe.frames.shape[0] - self._consumed()
+        while (self.fe.n_frames - self._consumed()
                >= self.win_frames):
             emitted += self._run_chunk()
         return emitted

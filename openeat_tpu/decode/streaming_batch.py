@@ -35,6 +35,7 @@ the S=1 case.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -138,6 +139,25 @@ def _get_step(model, chunk, left, cap, blank_id):
     return fn
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _reset_slot(state: BatchState, i, beam0) -> BatchState:
+    """Zero slot i across every leaf in ONE device dispatch — a python
+    loop of .at[i].set() calls is ~3*n_blocks+4 separate dispatches per
+    stream open, which dominates short-utterance serving on the
+    dispatch-latency-bound tunnel (CLAUDE.md perf anchors)."""
+    z = lambda a: a.at[i].set(0)
+    return BatchState(
+        k=tuple(map(z, state.k)),
+        v=tuple(map(z, state.v)),
+        cnn=tuple(map(z, state.cnn)),
+        cache_len=state.cache_len.at[i].set(0),
+        offset=state.offset.at[i].set(0),
+        beam=jax.tree.map(lambda a, b0: a.at[i].set(b0),
+                          state.beam, beam0),
+        enc_buf=state.enc_buf.at[i].set(0),
+    )
+
+
 def _get_rescorer(model, ctc_weight, reverse_weight):
     key = (model, ctc_weight, reverse_weight)
     fn = _RESCORE_CACHE.get(key)
@@ -171,7 +191,11 @@ class StreamHandle:
     """B=1 view over one slot of a StreamingBatch (mirrors
     StreamingRecognizer's API; `accept_waveform` drives the shared
     batch step, so a lone handle behaves like the single-stream
-    runtime)."""
+    runtime). One deliberate contract difference: `finish()` returns
+    the COMPLETE final hypothesis (rescoring replaces the greedy
+    partial wholesale, so a newly-emitted suffix does not exist),
+    while StreamingRecognizer.finish returns only newly-emitted
+    tokens — do not concatenate this onto accumulated partials."""
 
     def __init__(self, batch: "StreamingBatch", slot: int):
         self._batch = batch
@@ -270,18 +294,13 @@ class StreamingBatch:
     def _reset(self, i: int):
         self._slots[i] = _Slot(self.mel, self.rate,
                                self.normalization)
-        st = self.state
-        self.state = BatchState(
-            k=tuple(a.at[i].set(0) for a in st.k),
-            v=tuple(a.at[i].set(0) for a in st.v),
-            cnn=tuple(a.at[i].set(0) for a in st.cnn),
-            cache_len=st.cache_len.at[i].set(0),
-            offset=st.offset.at[i].set(0),
-            beam=jax.tree.map(lambda a, z: a.at[i].set(z),
-                              st.beam, self._beam0),
-            enc_buf=st.enc_buf.at[i].set(0),
-        )
-        self._offset_host[i] = 0
+        # device state only mutates via _step, which always advances
+        # offset for active slots — offset_host == 0 means the slot's
+        # device state is still pristine (init zeros + beam0), so a
+        # fresh slot's open() costs no device work at all
+        if self._offset_host[i]:
+            self.state = _reset_slot(self.state, i, self._beam0)
+            self._offset_host[i] = 0
 
     # ---- audio in ----
 
@@ -299,7 +318,7 @@ class StreamingBatch:
     def _ready(self, i: int) -> bool:
         sl = self._slots[i]
         return (sl.in_use and not sl.finished
-                and sl.fe.frames.shape[0] - self._consumed(i)
+                and sl.fe.n_frames - self._consumed(i)
                 >= self.win_frames)
 
     def run_ready(self, force: dict[int, int] | None = None
@@ -376,6 +395,12 @@ class StreamingBatch:
             self.run_ready(force={i: remaining})
         if not rescore:
             return list(sl.hyp)
+        if t_total <= 0:
+            # zero/near-zero audio: no encoder rows exist; rescoring
+            # over an all-masked memory is an all--inf softmax (NaN
+            # scores) — the B=1 runtime's flush produces nothing here
+            # either, so return the (empty) greedy hypothesis
+            return list(sl.hyp)
         nb, nl, ns = self._finalize_beam(
             jax.tree.map(lambda a: a[i], self.state.beam))
         enc_len = jnp.asarray(min(t_total, self.cap), jnp.int32)
@@ -390,7 +415,12 @@ class StreamingBatch:
         return toks
 
     def encoder_out(self, handle: StreamHandle) -> np.ndarray:
-        """Accumulated encoder output rows for tests."""
+        """Accumulated VALID encoder output rows. offset advances by a
+        full chunk even on a short forced flush chunk, so clamp to the
+        frontend's real subsampled length — otherwise up to chunk-1
+        zero-pad rows would be returned as real output after finish()."""
         i = handle.slot
-        n = min(int(self._offset_host[i]), self.cap)
+        sl = self._slots[i]
+        n = min(int(self._offset_host[i]), self.cap,
+                max(sl.fe.t_total(), 0))
         return np.asarray(self.state.enc_buf[i, :n])

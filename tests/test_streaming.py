@@ -157,7 +157,7 @@ def test_running_normalization_stats():
         feats = rng.standard_normal((16, 4)).astype(np.float32) * 3 + 7
         fe._ingest(feats)
         seen.append(feats)
-        got = fe.window(fe.frames.shape[0] - 8, 8)
+        got = fe.window(fe.n_frames - 8, 8)
         all_seen = np.concatenate(seen, axis=0)
         mean = all_seen.mean(0)
         var = all_seen.var(0)
@@ -172,6 +172,39 @@ def test_running_norm_none_is_identity():
     fe._ingest(np.ones((3, 2), np.float32) * 5)
     np.testing.assert_array_equal(fe.window(0, 3),
                                   np.ones((3, 2), np.float32) * 5)
+
+
+def test_host_frontend_trims_buffers(rng):
+    """Long-stream memory bound: the frontend drops samples already
+    folded into frames and frames behind the consumer's window, while
+    every window stays bit-identical to an untrimmed oracle."""
+    from openeat_tpu.decode.streaming import HostFrontend
+
+    fe = HostFrontend(4, 16000, "running")
+    oracle = HostFrontend(4, 16000, "running")
+    oracle._trim_samples = lambda: None  # keep everything
+    piece = 3200  # 200 ms
+    win, stride = 19, 16
+    f0 = 0
+    for i in range(50):  # 10 s of audio
+        wav = (rng.standard_normal(piece) * 3000).astype(np.float32)
+        fe.accept(wav)
+        oracle.accept(wav)
+        while fe.n_frames - f0 >= win:
+            got = fe.window(f0, win)
+            want = oracle.frames[f0: f0 + win]
+            mean = oracle._nsum / oracle._nn
+            var = np.maximum(
+                oracle._nsumsq / oracle._nn - mean ** 2, 0.0)
+            want = ((want - mean) / np.sqrt(var + 1e-8)).astype(
+                np.float32)
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+            f0 += stride
+    assert fe.n_frames == oracle.n_frames > 900
+    # bounded: the live buffers hold only the unconsumed tail, not 10 s
+    assert len(fe.samples) < 4 * piece
+    assert fe.frames.shape[0] < fe.n_frames / 4
+    assert len(oracle.samples) == oracle.n_samples  # oracle untrimmed
 
 
 def test_streaming_finish_flushes_tail(rng):

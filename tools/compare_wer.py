@@ -76,11 +76,17 @@ def main():
     args = p.parse_args()
     refs = read_trn(args.ref)
     char_mode = not args.word
-    err_a, lens, keys = per_utt_errors(refs, read_trn(args.hyp_a),
-                                       char_mode)
-    err_b, lens_b, keys_b = per_utt_errors(refs, read_trn(args.hyp_b),
-                                           char_mode)
-    assert keys == keys_b, "hyp files cover different utterance sets"
+    hyp_a, hyp_b = read_trn(args.hyp_a), read_trn(args.hyp_b)
+    # a paired test is only meaningful when both systems decoded the
+    # same utterances: per_utt_errors scores any miss as full deletion,
+    # which would silently charge an A/B coverage difference to quality
+    cov_a, cov_b = set(hyp_a) & set(refs), set(hyp_b) & set(refs)
+    assert cov_a == cov_b, (
+        f"hyp files cover different utterance sets "
+        f"({len(cov_a ^ cov_b)} utts differ, e.g. "
+        f"{sorted(cov_a ^ cov_b)[:3]})")
+    err_a, lens, keys = per_utt_errors(refs, hyp_a, char_mode)
+    err_b, lens_b, keys_b = per_utt_errors(refs, hyp_b, char_mode)
     n_tok = int(lens.sum())
     cer_a = 100.0 * err_a.sum() / n_tok
     cer_b = 100.0 * err_b.sum() / n_tok
