@@ -23,12 +23,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from benchmarks.make_structured_corpus import (HARD, _grammar,
+from benchmarks.make_structured_corpus import (HARD, PROFILES, _grammar,
                                                sample_sentence, synth_utt)
 from openeat_tpu.decode.attention_beam import recognize as attention_decode
 from openeat_tpu.decode.ctc_greedy import ctc_greedy_search
 from openeat_tpu.decode.ctc_prefix_beam import ctc_prefix_beam_search
-from openeat_tpu.decode.rescoring import attention_rescoring
+from openeat_tpu.decode.rescoring import (attention_rescoring,
+                                          rescoring_scores)
 from openeat_tpu.models.asr_model import ASRModel
 from openeat_tpu.ops.frontend import FrontendConfig, compute_features
 from openeat_tpu.parallel.train_step import build_train_step, init_state
@@ -65,6 +66,11 @@ def main():
     p.add_argument("--steps", type=int, default=800)
     p.add_argument("--n_train", type=int, default=2048)
     p.add_argument("--n_test", type=int, default=256)
+    p.add_argument("--profile", choices=sorted(PROFILES), default="hard")
+    p.add_argument("--lm_sents", type=int, default=60000,
+                   help="text-only sentences for the fusion leg "
+                        "(profiles with lm_text_n only)")
+    p.add_argument("--lm_weight", type=float, default=0.3)
     p.add_argument("--snr_lo", type=float, default=None)
     p.add_argument("--snr_hi", type=float, default=None)
     p.add_argument("--pair_df", type=float, default=None)
@@ -72,7 +78,7 @@ def main():
     p.add_argument("--pair_prior", type=float, default=None)
     p.add_argument("--amp_jitter", type=float, default=None)
     args = p.parse_args()
-    diff = HARD
+    diff = PROFILES[args.profile]
     if args.snr_lo is not None or args.snr_hi is not None:
         diff = replace(diff, snr_db=(
             diff.snr_db[0] if args.snr_lo is None else args.snr_lo,
@@ -159,6 +165,51 @@ def main():
     h, l, _ = attention_rescoring(model, params, enc, enc_lens, nb, nl,
                                   ns, ctc_weight=0.5, reverse_weight=0.3)
     results["attention_rescoring"] = cer(h, l)
+    # flush the 4 base modes before the fusion leg so a fusion failure
+    # can't discard a 5-minute training run's results
+    print("base: " + json.dumps({k: round(v, 2)
+                                 for k, v in results.items()}),
+          file=sys.stderr, flush=True)
+
+    if diff.lm_text_n:
+        # n-gram fusion leg: order-(prior_context+1) KN ARPA estimated on
+        # a big text-only sample, added to the rescoring score matrix the
+        # same way bin/recognize.py's _ngram_rescore does (log10, kenlm
+        # convention)
+        from openeat_tpu.lm.ngram import ArpaLM
+        from tools.train_ngram import estimate
+        lm_rng = np.random.default_rng(9)
+        t0 = time.time()
+        lm_sents = [sample_sentence(lm_rng, grammar, diff)
+                    for _ in range(args.lm_sents)]
+        order = diff.prior_context + 1 if diff.prior_context else 3
+        lm = ArpaLM(estimate(lm_sents, order), order)
+        print(f"ngram: order-{order} on {args.lm_sents} sents "
+              f"in {time.time()-t0:.1f}s", file=sys.stderr)
+        score = np.array(rescoring_scores(
+            model, params, enc, enc_lens, nb, nl, ns,
+            ctc_weight=0.5, reverse_weight=0.3))
+        nb_np, nl_np = np.asarray(nb), np.asarray(nl)
+        lm_scores = np.zeros_like(score)
+        for bi in range(nb_np.shape[0]):
+            for ki in range(nb_np.shape[1]):
+                ln = int(nl_np[bi, ki])
+                if ln <= 0 or score[bi, ki] < -1e29:
+                    continue
+                # CTC can emit any vocab id (incl. blank/unk/eos ids);
+                # map out-of-range ids to <unk> like recognize.py's
+                # id2tok.get(..., "<unk>")
+                toks = [diff.chars[int(t) - 2]
+                        if 0 <= int(t) - 2 < len(diff.chars) else "<unk>"
+                        for t in nb_np[bi, ki, :ln]]
+                lm_scores[bi, ki] = lm.score(" ".join(toks))
+        rows = np.arange(score.shape[0])
+        # LM scores computed once -> the fusion weight sweeps for free
+        for w in dict.fromkeys((args.lm_weight, 0.2, 0.5, 0.8, 1.2)):
+            best = (score + w * lm_scores).argmax(axis=1)
+            key = ("rescoring_ngram" if w == args.lm_weight
+                   else f"rescoring_ngram_w{w}")
+            results[key] = cer(nb_np[rows, best], nl_np[rows, best])
     print(json.dumps({k: round(v, 2) for k, v in results.items()}))
 
 

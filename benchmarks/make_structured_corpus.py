@@ -115,6 +115,16 @@ class Difficulty:
     tok_dur: float = 0.12
     min_len: int = 4
     max_len: int = 14
+    prior_context: int = 0    # number of predecessor GROUPS that key the
+    # favored pair member (0 = hard's per-(g1, pair) coin; k>=2 gives an
+    # order-(k+1) text prior). Each (g_{-k}..g_{-1}, pair) cell carries
+    # its own fixed coin, so any LOWER-order marginal of the member
+    # prior is ~uniform: at prior_context=3 there are ~10k reachable
+    # cells, which 10k paired utterances observe ~5x each (statistically
+    # unlearnable) while a 100k-sentence text-only corpus observes ~50x
+    # (learnable) — reproducing the real-world asymmetry (LM text >>
+    # paired audio) that makes external-LM fusion help on real speech.
+    lm_text_n: int = 0        # sentences in the text-only lm_text split
 
 
 V1 = Difficulty(name="v1", chars=tuple(CHARS_V1))
@@ -124,6 +134,24 @@ HARD = Difficulty(name="hard", chars=tuple(CHARS_HARD), n_pairs=12,
                   gain_db=6.0, dur_jitter=0.02, tok_dur=0.10,
                   min_len=6, max_len=16, amp_jitter=0.42,
                   quiet_rate=0.07)
+# lmhard = hard + (a) an order-4 context pair prior that only a
+# larger-text-trained LM can estimate well (see prior_context above) and
+# (b) a deeper quiet-token channel whose marginal-detectability band
+# turns greedy CTC's frame-local argmax into deletions that survive in
+# the prefix-beam nbest and are recovered by attention rescoring — the
+# two mechanisms by which rescoring/LM-fusion beat greedy on real
+# speech, engineered in after the r3 analysis showed a bigram grammar
+# is fully absorbed by the self-attentive encoder
+# (benchmarks/results/r3_recipe_hard/README.md).
+LMHARD = Difficulty(name="lmhard", chars=tuple(CHARS_HARD), n_pairs=12,
+                    pair_df=0.0, scale_jitter=0.02, tone_jitter_hz=25.0,
+                    pair_succ_bias=0.5, pair_prior=0.8,
+                    snr_db=(3.0, 13.0), gain_db=6.0, dur_jitter=0.02,
+                    tok_dur=0.10, min_len=6, max_len=16, amp_jitter=0.42,
+                    quiet_rate=0.12, quiet_db=(14.0, 28.0),
+                    prior_context=3, lm_text_n=100000)
+
+PROFILES = {"v1": V1, "hard": HARD, "lmhard": LMHARD}
 
 
 def token_freqs(diff: Difficulty) -> list[tuple[float, float]]:
@@ -149,6 +177,41 @@ def token_freqs(diff: Difficulty) -> list[tuple[float, float]]:
     return freqs
 
 
+def _char_group(diff: Difficulty, ch: str) -> int:
+    """Group index of a char: a confusable pair is ONE group (both
+    members share successor structure), each single char its own."""
+    idx = diff.chars.index(ch)
+    if idx < 2 * diff.n_pairs:
+        return idx // 2
+    return diff.n_pairs + (idx - 2 * diff.n_pairs)
+
+
+def _n_groups(diff: Difficulty) -> int:
+    return diff.n_pairs + (len(diff.chars) - 2 * diff.n_pairs)
+
+
+@dataclass(frozen=True)
+class ContextGrammar:
+    """Successor slots per predecessor group + a per-(context, pair)
+    favored-member coin, where context = the previous `ctx_order` group
+    indices (padded with the BOS index n_groups near sentence start).
+    Coins are drawn lazily from a SeedSequence keyed by the cell, so the
+    table is deterministic and sparse at any order."""
+    slots: dict          # g1 -> (pair_ids: list[int], single_ids: list[int])
+    ctx_order: int
+    seed: int
+    _memo: dict
+
+    def favored(self, ctx: tuple, pair: int) -> int:
+        key = (*ctx, pair)
+        v = self._memo.get(key)
+        if v is None:
+            v = int(np.random.default_rng(
+                np.random.SeedSequence((self.seed, *key))).integers(2))
+            self._memo[key] = v
+        return v
+
+
 def _grammar(diff: Difficulty, seed: int = 7):
     """Fixed bigram grammar. v1: each char allows 8 equiprobable
     successors (round-2 draws reproduced bit-for-bit; plain list
@@ -169,6 +232,16 @@ def _grammar(diff: Difficulty, seed: int = 7):
     single_chars = chars[2 * diff.n_pairs:]
     n_pair_slots = int(round(8 * diff.pair_succ_bias))
     n_single_slots = 8 - n_pair_slots
+    if diff.prior_context:
+        ng = _n_groups(diff)
+        slots = {}
+        for g1 in range(ng):
+            pair_ids = rng.permutation(diff.n_pairs)[:n_pair_slots]
+            single_ids = rng.permutation(len(single_chars))[:n_single_slots]
+            slots[g1] = ([int(k) for k in pair_ids],
+                         [int(j) for j in single_ids])
+        return ContextGrammar(slots=slots, ctx_order=diff.prior_context,
+                              seed=seed, _memo={})
     grammar = {}
     # predecessor groups: one per pair (shared by both members), then
     # one per single char
@@ -248,8 +321,41 @@ def synth_utt(rng: np.random.Generator, sent: list[str],
     return x.astype(np.float32)
 
 
-def sample_sentence(rng: np.random.Generator, grammar: dict,
+def _sample_sentence_ctx(rng: np.random.Generator, g: ContextGrammar,
+                         diff: Difficulty) -> list[str]:
+    length = int(rng.integers(diff.min_len, diff.max_len + 1))
+    singles = diff.chars[2 * diff.n_pairs:]
+    ng = _n_groups(diff)
+    first = int(rng.integers(len(singles)))
+    sent = [singles[first]]
+    # context = last ctx_order group indices, BOS(=ng)-padded on the left
+    ctx = (ng,) * (g.ctx_order - 1) + (diff.n_pairs + first,)
+    slot_p = 1.0 / 8.0
+    for _ in range(length - 1):
+        pair_ids, single_ids = g.slots[ctx[-1]]
+        succ: list[str] = []
+        probs: list[float] = []
+        for k in pair_ids:
+            a, b = diff.chars[2 * k], diff.chars[2 * k + 1]
+            if g.favored(ctx, k):
+                a, b = b, a
+            succ += [a, b]
+            probs += [slot_p * diff.pair_prior,
+                      slot_p * (1.0 - diff.pair_prior)]
+        for j in single_ids:
+            succ.append(singles[j])
+            probs.append(slot_p)
+        p = np.asarray(probs, np.float64)
+        ch = succ[int(rng.choice(len(succ), p=p / p.sum()))]
+        sent.append(ch)
+        ctx = ctx[1:] + (_char_group(diff, ch),)
+    return sent
+
+
+def sample_sentence(rng: np.random.Generator, grammar,
                     diff: Difficulty) -> list[str]:
+    if isinstance(grammar, ContextGrammar):
+        return _sample_sentence_ctx(rng, grammar, diff)
     length = int(rng.integers(diff.min_len, diff.max_len + 1))
     # hard: start from a non-pair symbol — a pair member in first
     # position has no left context and would be irreducibly ambiguous
@@ -294,6 +400,22 @@ def make_split(root: str, name: str, n_utts: int, seed: int,
         f.write("\n".join(texts) + "\n")
 
 
+def make_text_split(root: str, name: str, n_sents: int, seed: int,
+                    grammar, diff: Difficulty) -> None:
+    """Text-only split (no audio): the LM-training corpus whose size
+    advantage over the paired set is what makes external-LM fusion
+    informative under the trigram prior (see Difficulty.trigram_prior)."""
+    rng = np.random.default_rng(seed)
+    data_dir = os.path.join(root, "data", name)
+    os.makedirs(data_dir, exist_ok=True)
+    with open(os.path.join(data_dir, "text"), "w", encoding="utf-8") as f:
+        for i in range(n_sents):
+            sent = sample_sentence(rng, grammar, diff)
+            f.write(f"{name}{i:06d} {''.join(sent)}\n")
+            if (i + 1) % 20000 == 0:
+                print(f"{name}: {i + 1}/{n_sents}", file=sys.stderr)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("out_dir")
@@ -301,10 +423,13 @@ def main():
     p.add_argument("--n_dev", type=int, default=512)
     p.add_argument("--n_test", type=int, default=512)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--profile", choices=sorted(PROFILES), default=None,
+                   help="difficulty profile (see module docstring)")
+    p.add_argument("--lm_text_n", type=int, default=None,
+                   help="override the text-only lm_text split size")
     p.add_argument("--hard", action="store_true",
-                   help="confusable-pair + noise profile (see module "
-                        "docstring); default reproduces the round-2 "
-                        "corpus exactly")
+                   help="alias for --profile hard; default reproduces "
+                        "the round-2 corpus exactly")
     p.add_argument("--snr_lo", type=float, default=None)
     p.add_argument("--snr_hi", type=float, default=None)
     p.add_argument("--pair_df", type=float, default=None)
@@ -312,8 +437,15 @@ def main():
     p.add_argument("--pair_prior", type=float, default=None)
     p.add_argument("--amp_jitter", type=float, default=None)
     args = p.parse_args()
-    diff = HARD if args.hard else V1
+    if args.profile is not None:
+        assert not args.hard or args.profile == "hard", \
+            "--hard conflicts with --profile"
+        diff = PROFILES[args.profile]
+    else:
+        diff = HARD if args.hard else V1
     overrides = {}
+    if args.lm_text_n is not None:
+        overrides["lm_text_n"] = args.lm_text_n
     if args.snr_lo is not None or args.snr_hi is not None:
         snr = diff.snr_db or (3.0, 13.0)
         overrides["snr_db"] = (args.snr_lo if args.snr_lo is not None
@@ -338,8 +470,13 @@ def main():
                flac=True)
     make_split(args.out_dir, "test", args.n_test, args.seed + 2, g, diff,
                flac=True)
+    if diff.lm_text_n:
+        make_text_split(args.out_dir, "lm_text", diff.lm_text_n,
+                        args.seed + 3, g, diff)
     print(f"corpus at {args.out_dir} [{diff.name}]: {args.n_train}/"
-          f"{args.n_dev}/{args.n_test} train/dev/test utts")
+          f"{args.n_dev}/{args.n_test} train/dev/test utts"
+          + (f" + {diff.lm_text_n} lm_text sents" if diff.lm_text_n
+             else ""))
 
 
 if __name__ == "__main__":

@@ -29,11 +29,22 @@ average_num=3
 lm_weight=0.3
 max_epoch=60
 corpus_flags=""
+ngram_order=3
+lm_epochs=8
+lm_text=data/train/text
 if [ "$profile" = hard ]; then
   # 2048 test utts (~48k tokens): at ~8% CER the paired-bootstrap
   # noise floor is ~0.1 CER points, small enough to resolve the
   # reference's 0.1-1.1-point mode margins (BASELINE.md).
   corpus_flags="--hard --n_test 2048"
+elif [ "$profile" = lmhard ]; then
+  # hard + order-4 pair prior (only learnable from the 100k-sentence
+  # text-only lm_text split -> LMs train on it, order-4 n-gram) + a
+  # deeper quiet-token deletion channel; see
+  # benchmarks/make_structured_corpus.py LMHARD
+  corpus_flags="--profile lmhard --n_test 2048"
+  ngram_order=4
+  lm_epochs=6   # 100k-sentence corpus: 6 epochs ~ 55 epochs of train/text
 fi
 
 mkdir -p "$work"
@@ -150,20 +161,24 @@ print(json.dumps(out))
 PY
 
 echo "=== stage 5: LMs (KN ARPA + transformer) ==="
+# profiles with a text-only lm_text split train the LMs on it (the
+# big-text vs paired-data asymmetry is the point of the lmhard profile)
+[ -f data/lm_text/text ] && lm_text=data/lm_text/text
 if [ ! -f "$exp_dir/lm.arpa" ]; then
-  python "$repo_root/tools/train_ngram.py" data/train/text \
-    "$exp_dir/lm.arpa" --order 3 --format kaldi --tokenizer char
+  python "$repo_root/tools/train_ngram.py" "$lm_text" \
+    "$exp_dir/lm.arpa" --order "$ngram_order" --format kaldi \
+    --tokenizer char
 fi
-if [ ! -d "$exp_dir/lm/epoch_8" ]; then
+if [ ! -d "$exp_dir/lm/epoch_$lm_epochs" ]; then
   python - <<PY
 import yaml
 cfg = yaml.safe_load(open("$repo_root/examples/aishell/conf/train_lm.yaml"))
-cfg["max_epoch"] = 8
+cfg["max_epoch"] = $lm_epochs
 yaml.safe_dump(cfg, open("$work/conf_lm.yaml", "w"), sort_keys=False)
 PY
   python -m openeat_tpu.bin.train_lm \
     --config "$work/conf_lm.yaml" \
-    --train_data data/train/text \
+    --train_data "$lm_text" \
     --cv_data data/dev/text \
     --dict data/dict.txt \
     --exp_dir "$exp_dir/lm"
@@ -194,7 +209,8 @@ python -m openeat_tpu.bin.recognize \
   --batch_size 64 --beam_size "$beam_size" \
   --ctc_weight "$ctc_weight" --reverse_weight "$reverse_weight" \
   --max_hyp_len 24 \
-  --lm_config "$work/conf_lm.yaml" --lm_checkpoint "$exp_dir/lm/epoch_8" \
+  --lm_config "$work/conf_lm.yaml" \
+  --lm_checkpoint "$exp_dir/lm/epoch_$lm_epochs" \
   --lm_weight "$lm_weight" \
   --result_file "$exp_dir/hyp_rescoring_translm.txt"
 python "$repo_root/tools/compute_wer.py" data/test/text \

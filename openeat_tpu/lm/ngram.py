@@ -73,7 +73,12 @@ class _BackoffScorer:
                 unk = self._lookup(("<unk>",))
                 return total_bo + (unk[0] if unk is not None else -7.0)
             ctx_hit = self._lookup(context)
-            if ctx_hit is not None:
+            # missing backoff weight means 1.0 (log 0) in ARPA
+            # semantics; tools/train_ngram.estimate() emits None for
+            # grams with no continuation, while the file loader stores
+            # 0.0 — accept both so estimate()->ArpaLM composes without
+            # a file round-trip
+            if ctx_hit is not None and ctx_hit[1] is not None:
                 total_bo += ctx_hit[1]
             context = context[1:]
 

@@ -110,3 +110,20 @@ def test_cjk_char_tokenizer(tmp_path):
                     str(text), str(out), "--order", "2"], check=True)
     lm = ArpaLM.load(str(out))
     assert lm.score("你 好") > lm.score("好 好")
+
+
+def test_estimate_to_arpalm_composes_without_file_roundtrip(tmp_path):
+    """estimate() emits backoff=None for grams with no continuation; the
+    in-memory estimate()->ArpaLM composition must score identically to
+    the write_arpa->load file path (regression: None backoff crashed
+    _word_logprob; benchmarks/hard_probe.py fusion leg)."""
+    from tools.train_ngram import estimate, write_arpa
+    sents = [s.split() for s in CORPUS]
+    for order in (3, 4):
+        direct = ArpaLM(estimate(sents, order), order)
+        path = str(tmp_path / f"lm{order}.arpa")
+        write_arpa(path, direct.ngrams, order)
+        loaded = ArpaLM.load(path)
+        for s in CORPUS + ["c c c", "a a a a", "b c a b c"]:
+            assert direct.score(s) == pytest.approx(loaded.score(s),
+                                                    abs=1e-4)
