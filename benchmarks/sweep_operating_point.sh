@@ -39,11 +39,16 @@ run() {
     | tee -a "$out/summary.txt"
 }
 
-run cw0.3 --ctc_weight 0.3
-run cw0.5 --ctc_weight 0.5
-run cw0.8 --ctc_weight 0.8
-run cw1.2 --ctc_weight 1.2
-run cw2.0 --ctc_weight 2.0
-run cw0.5_lm0.1 --ctc_weight 0.5 --ngram_lm "$exp_dir/lm.arpa" --lm_weight 0.1
-run cw0.8_lm0.1 --ctc_weight 0.8 --ngram_lm "$exp_dir/lm.arpa" --lm_weight 0.1
+# Override the grids via env: CTC_WEIGHTS, LM_WEIGHTS (n-gram fusion at
+# the first ctc weight), LM_CTC_WEIGHT.
+CTC_WEIGHTS=${CTC_WEIGHTS:-"0.3 0.5 0.8 1.2 2.0"}
+LM_WEIGHTS=${LM_WEIGHTS:-"0.1"}
+LM_CTC_WEIGHT=${LM_CTC_WEIGHT:-0.5}
+for cw in $CTC_WEIGHTS; do
+  run "cw$cw" --ctc_weight "$cw"
+done
+for lw in $LM_WEIGHTS; do
+  run "cw${LM_CTC_WEIGHT}_lm$lw" --ctc_weight "$LM_CTC_WEIGHT" \
+    --ngram_lm "$exp_dir/lm.arpa" --lm_weight "$lw"
+done
 echo SWEEP_DONE

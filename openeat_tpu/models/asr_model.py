@@ -54,6 +54,16 @@ class ASRModel(nn.Module):
     decoder_use_adapter: bool = False
     down_size: int = 64
     scalar: float = 0.1
+    # encoder mixture-of-experts FFN (beyond-reference, SURVEY.md §2.7
+    # lists EP as absent upstream): >0 replaces the main encoder FFN
+    # with a top-k routed expert bank whose expert axis shards over the
+    # mesh 'model' axis. The Switch load-balance aux loss is sown as
+    # 'intermediates'/'moe_aux_loss' and added to the training loss at
+    # moe_aux_weight by parallel/train_step.make_loss_fn.
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_aux_weight: float = 0.01
     ctc_weight: float = 0.3
     lsm_weight: float = 0.1
     reverse_weight: float = 0.0
@@ -97,6 +107,9 @@ class ASRModel(nn.Module):
             use_adapter=self.encoder_use_adapter,
             down_size=self.down_size,
             scalar=self.scalar,
+            moe_experts=self.moe_experts,
+            moe_top_k=self.moe_top_k,
+            moe_capacity_factor=self.moe_capacity_factor,
             num_blocks=self.encoder_num_blocks,
             num_blocks_share=self.encoder_num_blocks_share,
             use_global_cmvn=self.use_global_cmvn,
@@ -264,6 +277,10 @@ def build_asr_model(model_conf: dict, input_size: int, vocab_size: int,
         decoder_use_adapter=mc.get("decoder_use_adapter", False),
         down_size=mc.get("down_size", 64),
         scalar=mc.get("scalar", 0.1),
+        moe_experts=mc.get("moe_experts", 0),
+        moe_top_k=mc.get("moe_top_k", 2),
+        moe_capacity_factor=mc.get("moe_capacity_factor", 1.25),
+        moe_aux_weight=mc.get("moe_aux_weight", 0.01),
         ctc_weight=mc.get("ctc_weight", 0.3),
         lsm_weight=mc.get("lsm_weight", 0.1),
         reverse_weight=mc.get("reverse_weight", 0.0),

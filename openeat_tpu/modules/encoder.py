@@ -54,6 +54,9 @@ class Encoder(nn.Module):
     use_adapter: bool = False
     down_size: int = 64
     scalar: float = 0.1
+    moe_experts: int = 0           # >0: MoE main FFN (beyond-reference)
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
     num_blocks: int = 6
     num_blocks_share: int = 1
     sequence_sharding: bool = False  # shard time over the 'model' axis
@@ -78,6 +81,9 @@ class Encoder(nn.Module):
                 use_adapter=self.use_adapter,
                 down_size=self.down_size,
                 scalar=self.scalar,
+                moe_experts=self.moe_experts,
+                moe_top_k=self.moe_top_k,
+                moe_capacity_factor=self.moe_capacity_factor,
                 dtype=self.dtype,
                 name=f"layer_{i}",
             )
@@ -156,6 +162,9 @@ class TransformerEncoder(nn.Module):
     use_adapter: bool = False
     down_size: int = 64
     scalar: float = 0.1
+    moe_experts: int = 0           # >0: MoE main FFN (beyond-reference)
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
     num_blocks: int = 6
     num_blocks_share: int = 1
     use_global_cmvn: bool = False
@@ -195,6 +204,9 @@ class TransformerEncoder(nn.Module):
             use_adapter=self.use_adapter,
             down_size=self.down_size,
             scalar=self.scalar,
+            moe_experts=self.moe_experts,
+            moe_top_k=self.moe_top_k,
+            moe_capacity_factor=self.moe_capacity_factor,
             num_blocks=self.num_blocks,
             num_blocks_share=self.num_blocks_share,
             sequence_sharding=self.sequence_sharding,

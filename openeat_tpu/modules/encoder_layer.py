@@ -26,7 +26,9 @@ import jax.numpy as jnp
 from openeat_tpu.modules.attention import (MultiHeadedAttention,
                                            RelPositionMultiHeadedAttention)
 from openeat_tpu.modules.convolution import ConvolutionModule
-from openeat_tpu.modules.feed_forward import Adapter, PositionwiseFeedForward
+from openeat_tpu.modules.feed_forward import (Adapter,
+                                              MoEPositionwiseFeedForward,
+                                              PositionwiseFeedForward)
 
 
 class EncoderLayer(nn.Module):
@@ -43,6 +45,11 @@ class EncoderLayer(nn.Module):
     use_adapter: bool = False
     down_size: int = 64
     scalar: float = 0.1
+    # mixture-of-experts main FFN (beyond-reference; macaron half-FFN
+    # stays dense). 0 = dense. See feed_forward.MoEPositionwiseFeedForward.
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -74,7 +81,14 @@ class EncoderLayer(nn.Module):
                 self.scalar, residual=False, dtype=self.dtype,
                 name="adapter")
         self.norm_ff = ln("norm_ff")
-        self.feed_forward = ffn("feed_forward")
+        if self.moe_experts:
+            self.feed_forward = MoEPositionwiseFeedForward(
+                self.d_model, self.linear_units, self.moe_experts,
+                self.moe_top_k, self.moe_capacity_factor,
+                self.dropout_rate, self.activation, dtype=self.dtype,
+                name="feed_forward")
+        else:
+            self.feed_forward = ffn("feed_forward")
         self.drop = nn.Dropout(self.dropout_rate)
 
     def __call__(self, x: jax.Array, mask: jax.Array, pos_emb: jax.Array,

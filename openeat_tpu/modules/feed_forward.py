@@ -13,6 +13,7 @@ from typing import Callable
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class PositionwiseFeedForward(nn.Module):
@@ -28,6 +29,110 @@ class PositionwiseFeedForward(nn.Module):
         h = self.activation(h)
         h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
         return nn.Dense(self.d_model, dtype=self.dtype, name="w_2")(h)
+
+
+class MoEPositionwiseFeedForward(nn.Module):
+    """Mixture-of-experts position-wise FFN (beyond-reference; the
+    reference has no MoE — SURVEY.md §2.7 lists EP as absent there).
+
+    TPU-native GShard/Switch design: top-k routing with a STATIC
+    per-expert capacity, dispatch/combine as one-hot einsums so the
+    expert matmuls stay batched on the MXU ([E, C, D] x [E, D, F]) and
+    the expert axis shards over the mesh 'model' axis (expert
+    parallelism — see parallel/mesh.py EP rules). Tokens beyond an
+    expert's capacity are dropped (their combine weight is 0); callers
+    keep a residual connection, so dropped tokens pass through
+    unchanged, as in Switch Transformers.
+
+    The Switch load-balance auxiliary loss (num_experts * sum_e
+    dispatch_fraction_e * mean_router_prob_e) is sown into the
+    'intermediates' collection as 'moe_aux_loss'; the training loss
+    collects it via apply(..., mutable=['intermediates']) — decode
+    paths apply without mutable collections, where sow() is a no-op.
+
+    Routing is computed in float32 regardless of compute dtype
+    (router logits are small but decide argmaxes; bf16 ties flap).
+
+    Streaming note: capacity is computed from the tokens the call sees,
+    so a streamed chunk uses a per-chunk capacity while the offline
+    forward uses a per-utterance one — routing (top-k) is identical,
+    but capacity DROPS can differ near saturation; streamed MoE decode
+    is therefore equivalent-in-distribution, not bit-exact (dense
+    models remain bit-exact).
+    """
+
+    d_model: int
+    hidden_units: int
+    num_experts: int
+    top_k: int = 2
+    capacity_factor: float = 1.25
+    dropout_rate: float = 0.1
+    activation: Callable = jax.nn.relu
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True):
+        b, t, d = x.shape
+        s = b * t
+        e = self.num_experts
+        k = min(self.top_k, e)
+        cap = int(np.ceil(k * s / e * self.capacity_factor))
+        cap = max(cap, k)
+
+        xf = x.reshape(s, d)
+        logits = nn.Dense(e, dtype=jnp.float32, name="router")(
+            xf.astype(jnp.float32))
+        probs = jax.nn.softmax(logits, axis=-1)  # [S, E] f32
+
+        # top-k selection: iterative argmax (k is 1 or 2 in practice)
+        sel = jnp.zeros((s, e), jnp.float32)
+        masked = probs
+        for _ in range(k):
+            idx = jnp.argmax(masked, axis=-1)
+            one = jax.nn.one_hot(idx, e, dtype=jnp.float32)
+            sel = sel + one
+            masked = masked * (1.0 - one)
+        gates = probs * sel
+        # renormalize over the selected k (GShard convention)
+        gates = gates / jnp.maximum(
+            gates.sum(-1, keepdims=True), 1e-9)
+
+        # position of each token in its expert's buffer (token order);
+        # tokens past the capacity are dropped
+        pos = jnp.cumsum(sel, axis=0) - 1.0  # [S, E]
+        keep = sel * (pos < cap)
+        dispatch = jax.nn.one_hot(pos.astype(jnp.int32), cap,
+                                  dtype=self.dtype) * keep[..., None]
+        combine = dispatch * gates[..., None].astype(self.dtype)
+
+        # Switch aux loss: num_experts * sum_e f_e * P_e, where f_e is
+        # the routed-token fraction and P_e the mean router probability
+        frac = (sel / k).mean(0)  # [E]
+        aux = e * jnp.sum(frac * probs.mean(0))
+        self.sow("intermediates", "moe_aux_loss", aux)
+
+        w_in = self.param(
+            "w_in", nn.initializers.lecun_normal(batch_axis=(0,)),
+            (e, d, self.hidden_units), jnp.float32).astype(self.dtype)
+        b_in = self.param("b_in", nn.initializers.zeros,
+                          (e, self.hidden_units),
+                          jnp.float32).astype(self.dtype)
+        w_out = self.param(
+            "w_out", nn.initializers.lecun_normal(batch_axis=(0,)),
+            (e, self.hidden_units, d), jnp.float32).astype(self.dtype)
+        b_out = self.param("b_out", nn.initializers.zeros, (e, d),
+                           jnp.float32).astype(self.dtype)
+
+        xc = xf.astype(self.dtype)
+        expert_in = jnp.einsum("sec,sd->ecd", dispatch, xc)
+        h = self.activation(
+            jnp.einsum("ecd,edf->ecf", expert_in, w_in)
+            + b_in[:, None, :])
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        expert_out = (jnp.einsum("ecf,efd->ecd", h, w_out)
+                      + b_out[:, None, :])
+        y = jnp.einsum("sec,ecd->sd", combine, expert_out)
+        return y.reshape(b, t, d)
 
 
 class Adapter(nn.Module):

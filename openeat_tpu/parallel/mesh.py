@@ -41,6 +41,13 @@ TP_RULES: list[tuple[str, P]] = [
     (r".*ctc_lo/kernel$", P(None, "model")),
     (r".*(down_proj)/kernel$", P(None, "model")),
     (r".*(up_proj)/kernel$", P("model", None)),
+    # MoE expert banks [E, ...]: expert axis sharded over 'model'
+    # (expert parallelism; the router stays replicated). GSPMD turns the
+    # dispatch einsums into an all-to-all-shaped exchange over ICI.
+    (r".*feed_forward/w_in$", P("model", None, None)),
+    (r".*feed_forward/w_out$", P("model", None, None)),
+    (r".*feed_forward/b_in$", P("model", None)),
+    (r".*feed_forward/b_out$", P("model", None)),
 ]
 
 

@@ -35,14 +35,35 @@ class TrainState(NamedTuple):
 
 
 def make_loss_fn(model) -> Callable:
+    # MoE layers sow a Switch load-balance loss into 'intermediates'
+    # (modules/feed_forward.MoEPositionwiseFeedForward); collecting it
+    # requires the collection to be mutable during apply. Dense models
+    # skip the extra plumbing entirely.
+    has_moe = getattr(model, "moe_experts", 0) > 0
+
     def loss_fn(params, batch, dropout_rng):
-        metrics = model.apply(
-            params,
-            batch["features"], batch["features_length"],
-            batch["targets"], batch["targets_length"],
-            deterministic=False,
-            rngs={"dropout": dropout_rng},
-        )
+        kw = dict(deterministic=False, rngs={"dropout": dropout_rng})
+        if has_moe:
+            metrics, var = model.apply(
+                params,
+                batch["features"], batch["features_length"],
+                batch["targets"], batch["targets_length"],
+                mutable=["intermediates"], **kw)
+            # the only 'intermediates' producer in the model tree is
+            # the MoE aux loss (one scalar per MoE layer application)
+            aux = [jnp.asarray(v) for v in
+                   jax.tree.leaves(var.get("intermediates", {}))]
+            metrics = dict(metrics)
+            moe_aux = (sum(aux) / max(len(aux), 1)) if aux else 0.0
+            metrics["moe_aux"] = jnp.asarray(moe_aux, jnp.float32)
+            metrics["loss"] = (metrics["loss"]
+                               + model.moe_aux_weight * moe_aux)
+        else:
+            metrics = model.apply(
+                params,
+                batch["features"], batch["features_length"],
+                batch["targets"], batch["targets_length"],
+                **kw)
         return metrics["loss"], metrics
     return loss_fn
 
