@@ -1,9 +1,10 @@
-"""Difficulty calibration probe for the HARD structured corpus (real
-TPU, ~10 min): trains a corpus-sized Conformer for a few hundred steps
-on in-memory hard-profile utterances, then reports 4-mode CER on a
-held-out set — a fast proxy for where the flagship recipe drive will
-land, used to tune the difficulty knobs (SNR band, pair_df,
-scale_jitter) before the ~40 min full drive.
+"""Difficulty calibration probe for the hard/lmhard structured corpora
+(real TPU, ~10 min): trains a corpus-sized Conformer for a few hundred
+steps on in-memory utterances, then reports 4-mode CER on a held-out
+set — a fast proxy for where the flagship recipe drive will land, used
+to tune the difficulty knobs (SNR band, pair_df, scale_jitter, quiet
+channel) before the full drive. Profiles with an lm_text split also
+get an n-gram LM-fusion leg with a free fusion-weight sweep.
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/hard_probe.py \
           [--steps 800] [--snr_lo 3 --snr_hi 13 --pair_df 14]
