@@ -40,15 +40,23 @@ run() {
 }
 
 # Override the grids via env: CTC_WEIGHTS, LM_WEIGHTS (n-gram fusion at
-# the first ctc weight), LM_CTC_WEIGHT.
+# LM_CTC_WEIGHT), TRANSLM_WEIGHTS (transformer-LM fusion, needs
+# $work/conf_lm.yaml + exp/lm/epoch_$LM_EPOCH), LM_CTC_WEIGHT.
 CTC_WEIGHTS=${CTC_WEIGHTS:-"0.3 0.5 0.8 1.2 2.0"}
 LM_WEIGHTS=${LM_WEIGHTS:-"0.1"}
+TRANSLM_WEIGHTS=${TRANSLM_WEIGHTS:-""}
 LM_CTC_WEIGHT=${LM_CTC_WEIGHT:-0.5}
+LM_EPOCH=${LM_EPOCH:-6}
 for cw in $CTC_WEIGHTS; do
   run "cw$cw" --ctc_weight "$cw"
 done
 for lw in $LM_WEIGHTS; do
   run "cw${LM_CTC_WEIGHT}_lm$lw" --ctc_weight "$LM_CTC_WEIGHT" \
     --ngram_lm "$exp_dir/lm.arpa" --lm_weight "$lw"
+done
+for lw in $TRANSLM_WEIGHTS; do
+  run "cw${LM_CTC_WEIGHT}_translm$lw" --ctc_weight "$LM_CTC_WEIGHT" \
+    --lm_config "$work/conf_lm.yaml" \
+    --lm_checkpoint "$exp_dir/lm/epoch_$LM_EPOCH" --lm_weight "$lw"
 done
 echo SWEEP_DONE

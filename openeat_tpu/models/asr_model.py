@@ -147,6 +147,11 @@ class ASRModel(nn.Module):
         """Joint loss (reference asr_model.py:126-157). Returns metrics."""
         encoder_out, out_lens, _ = self.encoder(
             features, features_length, deterministic=deterministic)
+        return self._joint_loss(encoder_out, out_lens, targets,
+                                targets_length, deterministic=deterministic)
+
+    def _joint_loss(self, encoder_out, out_lens, targets, targets_length,
+                    *, deterministic: bool = True) -> dict[str, jax.Array]:
         loss_ctc = self.ctc.loss(encoder_out, out_lens, targets,
                                  targets_length)
         metrics = {"loss_ctc": loss_ctc}
@@ -192,6 +197,31 @@ class ASRModel(nn.Module):
                 + self.reverse_weight * r_loss
         acc = th_accuracy(decoder_out, ys_out, IGNORE_ID)
         return loss_att, acc
+
+    # ---- pipeline-parallel split points (parallel/pipeline.py) ----
+
+    def pipeline_head(self, features, features_length, *,
+                      deterministic: bool = True):
+        """Frontend half of the encoder (CMVN + subsampling embed) for
+        the pipeline-parallel path, which runs the block stack itself
+        as a GPipe schedule. Returns (xs [B,T',D], pos_emb, out_lens).
+        The reference has no PP (SURVEY.md §2.7)."""
+        enc = self.encoder
+        xs = features
+        if enc.use_global_cmvn:
+            xs = enc.global_cmvn(xs)
+        xs = xs.astype(enc.dtype)
+        xs, pos_emb, out_lens = enc.embed(xs, features_length,
+                                          deterministic=deterministic)
+        return xs, pos_emb, out_lens
+
+    def pipeline_tail(self, xs, out_lens, targets, targets_length, *,
+                      deterministic: bool = True):
+        """Loss half for the PP path: encoder after_norm + joint loss."""
+        encoder_out = self.encoder.encoders.after_norm(xs)
+        return self._joint_loss(encoder_out, out_lens, targets,
+                                targets_length,
+                                deterministic=deterministic)
 
     # ---- decode-support methods (use via apply(..., method=...)) ----
 

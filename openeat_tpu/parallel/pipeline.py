@@ -1,0 +1,213 @@
+"""GPipe-style pipeline parallelism (PP) over a 'pipe' mesh axis.
+
+The reference has no pipeline parallelism (SURVEY.md §2.7 — its only
+scale-out story is DDP, reference openeat/bin/train_ddp.py:127-134).
+This is the TPU-native scale-up axis for deep encoders: the encoder
+block stack is partitioned into `pipe` contiguous stages, each stage
+owned by one mesh slice along the 'pipe' axis, and microbatches stream
+through the stages with `lax.ppermute` hops between ICI neighbours
+(GPipe schedule: Huang et al. 2019; see also the scaling-book pipeline
+chapter). Everything outside the block stack (subsampling embed, CTC
+head, decoder, losses) stays replicated over 'pipe' and sharded over
+'data' exactly as in the plain GSPMD path.
+
+Design notes (TPU/XLA):
+- one `jax.shard_map` region runs the whole schedule; inside it each
+  device executes per-device code, so the M + S - 1 tick loop is a
+  `lax.scan` with static trip count (no dynamic shapes);
+- stage weights are the stacked per-layer params reshaped to
+  [S, L/S, ...] and sharded P('pipe') — each device holds only its own
+  stage's blocks (this is the memory win PP exists for);
+- activations hop stage->stage via ppermute (neighbour ICI traffic, no
+  all-to-all); the finished microbatch buffer is broadcast back with a
+  psum at the end because the decoder/CTC run replicated over 'pipe'
+  (a perf-tuned deployment would keep the tail on the last stage);
+- bubbles: the schedule wastes S-1 of M+S-1 ticks per direction, the
+  standard GPipe cost — amortize with num_micro >> pipe;
+- autodiff: jax differentiates through shard_map/ppermute/scan, so the
+  same loss_fn slots straight into build_train_step(loss_fn=...).
+
+Restrictions (asserted): dense FFN only (MoE sows its aux loss through
+flax 'intermediates', which a raw-params stage apply would drop) and
+full-context attention (no chunk masks); weight-shared stacks
+(num_blocks_share > 1) are supported by stacking one entry per
+APPLICATION — autodiff sums the duplicate contributions back onto the
+shared physical layer.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from openeat_tpu.utils.mask import make_non_pad_mask
+
+
+def stack_block_params(encoder_params: dict, num_blocks: int,
+                       num_blocks_share: int = 1) -> Any:
+    """Stack `layer_{i}` subtrees into one pytree with leading axis
+    [num_blocks] (one entry per APPLICATION; shared physical layers are
+    repeated — see module docstring)."""
+    apps = [encoder_params[f"layer_{i // num_blocks_share}"]
+            for i in range(num_blocks)]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *apps)
+
+
+def pipeline_blocks(layer_module, stacked_params, xs, mask, pos_emb,
+                    mask_pad, *, mesh: Mesh, num_micro: int,
+                    axis: str = "pipe", data_axis: str = "data",
+                    deterministic: bool = True, rng=None):
+    """Run the encoder block stack as a GPipe pipeline over `axis`.
+
+    layer_module: an UNBOUND EncoderLayer carrying the static config.
+    stacked_params: pytree with leading axis L (total applications).
+    xs: [B, T, D]; mask: [B, 1|T, T]; pos_emb: [1, Tp, D];
+    mask_pad: [B, 1, T]. B must divide into num_micro microbatches and
+    each microbatch must shard evenly over the 'data' axis.
+
+    Returns [B, T, D] — bit-identical (up to reduction order) to
+    applying the layers sequentially.
+    """
+    pipe = mesh.shape[axis]
+    total = jax.tree.leaves(stacked_params)[0].shape[0]
+    assert total % pipe == 0, (
+        f"{total} block applications not divisible by pipe={pipe}")
+    b = xs.shape[0]
+    assert b % num_micro == 0, f"batch {b} not divisible by M={num_micro}"
+    mb = b // num_micro
+    assert mb % mesh.shape[data_axis] == 0, (
+        f"microbatch {mb} not divisible by data={mesh.shape[data_axis]}")
+    m_count = num_micro
+
+    def msplit(a):
+        return a.reshape((m_count, mb) + a.shape[1:])
+
+    xs_m = msplit(xs)
+    mask_m = msplit(mask)
+    pad_m = msplit(mask_pad)
+    stage_params = jax.tree.map(
+        lambda p: p.reshape((pipe, total // pipe) + p.shape[1:]),
+        stacked_params)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    micro_spec = P(None, data_axis)  # [M, b_local, ...]
+
+    def body(sp, xs_m, mask_m, pad_m, pos_emb, rng):
+        sp = jax.tree.map(lambda p: p[0], sp)  # local stage: [L/S, ...]
+        sidx = jax.lax.axis_index(axis)
+        n_layers = jax.tree.leaves(sp)[0].shape[0]
+
+        def stage_apply(x, m_idx, cur_mask, cur_pad):
+            # per-(microbatch, stage) dropout stream, split per layer
+            keys = jax.random.split(
+                jax.random.fold_in(jax.random.fold_in(rng, m_idx), sidx),
+                n_layers)
+
+            def layer_step(h, inp):
+                lp, key = inp
+                h = layer_module.apply(
+                    {"params": lp}, h, cur_mask, pos_emb,
+                    cur_pad, deterministic=deterministic,
+                    rngs=None if deterministic else {"dropout": key})
+                return h, None
+
+            x, _ = jax.lax.scan(layer_step, x, (sp, keys))
+            return x
+
+        perm = [(i, i + 1) for i in range(pipe - 1)]
+        out0 = jnp.zeros_like(xs_m)
+
+        def tick(carry, t):
+            x_prev, outbuf = carry
+            m_idx = jnp.clip(t - sidx, 0, m_count - 1)
+            x_fresh = jax.lax.dynamic_index_in_dim(
+                xs_m, jnp.clip(t, 0, m_count - 1), 0, keepdims=False)
+            x_in = jnp.where(sidx == 0, x_fresh, x_prev)
+            cur_mask = jax.lax.dynamic_index_in_dim(mask_m, m_idx, 0,
+                                                    keepdims=False)
+            cur_pad = jax.lax.dynamic_index_in_dim(pad_m, m_idx, 0,
+                                                   keepdims=False)
+            y = stage_apply(x_in, m_idx, cur_mask, cur_pad)
+            # last stage commits finished microbatch t - (S-1)
+            o = t - (pipe - 1)
+            oc = jnp.clip(o, 0, m_count - 1)
+            write = (sidx == pipe - 1) & (o >= 0)
+            cur = jax.lax.dynamic_slice_in_dim(outbuf, oc, 1, 0)
+            outbuf = jax.lax.dynamic_update_slice_in_dim(
+                outbuf, jnp.where(write, y[None], cur), oc, 0)
+            x_next = jax.lax.ppermute(y, axis, perm)
+            return (x_next, outbuf), None
+
+        ticks = jnp.arange(m_count + pipe - 1)
+        (_, outbuf), _ = jax.lax.scan(tick, (jnp.zeros_like(xs_m[0]), out0),
+                                      ticks)
+        # broadcast the last stage's buffer to all pipe ranks (everyone
+        # else contributed zeros)
+        return jax.lax.psum(outbuf, axis)
+
+    out = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P(axis), stage_params),
+                  micro_spec, micro_spec, micro_spec, P(), P()),
+        out_specs=micro_spec,
+        check_vma=False,
+    )(stage_params, xs_m, mask_m, pad_m, pos_emb, rng)
+    return out.reshape((b,) + out.shape[2:])
+
+
+def make_pp_loss_fn(model, mesh: Mesh, num_micro: int,
+                    axis: str = "pipe", data_axis: str = "data"):
+    """Pipelined drop-in for parallel.train_step.make_loss_fn: the
+    encoder block stack runs as a GPipe pipeline over `axis`; embed,
+    after_norm, CTC and decoder losses stay replicated over 'pipe'.
+
+    Pass the result to build_train_step(model, tx, loss_fn=...).
+    """
+    from openeat_tpu.modules.encoder_layer import EncoderLayer
+    from openeat_tpu.utils.common import get_activation
+
+    assert getattr(model, "moe_experts", 0) == 0, (
+        "PP + MoE unsupported: stage apply drops flax 'intermediates'")
+    assert model.static_chunk_size == 0 and not model.use_dynamic_chunk, (
+        "PP path supports full-context attention only")
+    layer_module = EncoderLayer(
+        d_model=model.d_model,
+        attention_heads=model.attention_heads,
+        linear_units=model.linear_units,
+        dropout_rate=model.dropout_rate,
+        activation=get_activation(model.activation_type),
+        macaron_style=model.macaron_style,
+        use_cnn_module=model.use_cnn_module,
+        cnn_module_kernel=model.cnn_module_kernel,
+        causal=model.causal,
+        use_adapter=model.encoder_use_adapter,
+        down_size=model.down_size,
+        scalar=model.scalar,
+        dtype=model.compute_dtype)
+
+    def loss_fn(params, batch, dropout_rng):
+        det = False
+        k_embed, k_blocks, k_tail = jax.random.split(dropout_rng, 3)
+        xs, pos_emb, out_lens = model.apply(
+            params, batch["features"], batch["features_length"],
+            deterministic=det, rngs={"dropout": k_embed},
+            method=model.pipeline_head)
+        mask_pad = make_non_pad_mask(out_lens, xs.shape[1])[:, None, :]
+        stacked = stack_block_params(
+            params["params"]["encoder"]["encoders"],
+            model.encoder_num_blocks, model.encoder_num_blocks_share)
+        xs = pipeline_blocks(
+            layer_module, stacked, xs, mask_pad, pos_emb, mask_pad,
+            mesh=mesh, num_micro=num_micro, axis=axis,
+            data_axis=data_axis, deterministic=det, rng=k_blocks)
+        metrics = model.apply(
+            params, xs, out_lens, batch["targets"],
+            batch["targets_length"], deterministic=det,
+            rngs={"dropout": k_tail}, method=model.pipeline_tail)
+        return metrics["loss"], metrics
+
+    return loss_fn

@@ -70,14 +70,18 @@ def make_loss_fn(model) -> Callable:
 
 def build_train_step(model, tx: optax.GradientTransformation,
                      accum_grad: int = 1, grad_clip: float = 5.0,
-                     donate: bool = True) -> Callable:
+                     donate: bool = True,
+                     loss_fn: Callable | None = None) -> Callable:
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
     With accum_grad > 1, every batch array must have a leading
     [accum_grad, micro_batch, ...] layout; gradients are averaged over
     micro-batches inside the jit.
+
+    loss_fn overrides the default make_loss_fn(model) — e.g. the
+    pipeline-parallel loss from parallel.pipeline.make_pp_loss_fn.
     """
-    loss_fn = make_loss_fn(model)
+    loss_fn = loss_fn if loss_fn is not None else make_loss_fn(model)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def compute_grads(params, batch, rng):
