@@ -56,8 +56,9 @@ yaml.safe_dump(cfg, open("$work/conf_stream.yaml", "w"),
                sort_keys=False)
 PY
   resume=()
-  last=$(ls -d "$exp_dir"/epoch_* 2>/dev/null | sed 's/.*epoch_//' |
-         sort -n | tail -1 || true)
+  # dirs only (epoch_N.yaml info files also match the glob)
+  last=$(find "$exp_dir" -maxdepth 1 -type d -name 'epoch_*' 2>/dev/null |
+         sed 's/.*epoch_//' | sort -n | tail -1 || true)
   if [ -n "${last:-}" ]; then
     echo "resuming from epoch_$last"
     resume=(--checkpoint "$exp_dir/epoch_$last")
