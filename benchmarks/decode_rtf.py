@@ -26,6 +26,15 @@ from openeat_tpu.models.asr_model import ASRModel
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quantize", default="none", choices=["none", "int8"],
+                    help="int8: measure with weight-only-quantized params "
+                         "(utils/quantize.py) — metric names get an "
+                         "_int8 suffix for A/B against the bf16 run")
+    opts = ap.parse_args()
+    suffix = "_int8" if opts.quantize == "int8" else ""
+
     b, t = 8, 1000  # 8 x 10 s utterances
     audio_sec = b * t * 0.01
     model = _flagship_model()
@@ -34,6 +43,9 @@ def main():
     params = model.init(jax.random.PRNGKey(0), batch["features"],
                         batch["features_length"], batch["targets"],
                         batch["targets_length"])
+    if suffix:
+        from openeat_tpu.utils.quantize import quantize_params
+        params = quantize_params(params)
 
     encode = jax.jit(lambda p, f, l: model.apply(
         p, f, l, method=ASRModel.encode))
@@ -92,14 +104,14 @@ def main():
         jax.block_until_ready(r)
         dt = (time.perf_counter() - t0) / n
         rtf = dt / audio_sec
-        print(json.dumps({"metric": f"decode_rtf_{name}",
+        print(json.dumps({"metric": f"decode_rtf_{name}{suffix}",
                           "value": round(rtf, 5), "unit": "RTF",
                           "vs_baseline": round(0.05 / max(rtf, 1e-9), 2)}))
 
-    streaming_throughput()
+    streaming_throughput(suffix)
 
 
-def streaming_throughput():
+def streaming_throughput(suffix=""):
     """Concurrent-stream throughput of the batched streaming runtime
     (decode/streaming_batch.py): audio-sec/sec for S streams decoded in
     lockstep vs S=1 — the VERDICT r2 weak-#3 measurement. Uses a causal
@@ -119,6 +131,9 @@ def streaming_throughput():
     tgt = jnp.asarray(rng.integers(1, 4000, (1, 8)), jnp.int32)
     params = model.init(jax.random.PRNGKey(0), feats, jnp.array([64]),
                         tgt, jnp.array([8]))
+    if suffix:
+        from openeat_tpu.utils.quantize import quantize_params
+        params = quantize_params(params)
     dur_s = 10.0
     wav = (rng.standard_normal(int(dur_s * 16000)) * 3000
            ).astype(np.float32)
@@ -149,7 +164,7 @@ def streaming_throughput():
         # vs_baseline: against the 0.05-RTF/stream budget (= 20
         # audio-sec/sec per concurrent stream)
         print(json.dumps({
-            "metric": f"streaming_throughput_S{s_count}",
+            "metric": f"streaming_throughput_S{s_count}{suffix}",
             "value": round(total_audio / dt, 1),
             "unit": "audio-sec/sec",
             "vs_baseline": round((total_audio / dt) / (20.0 * s_count),

@@ -72,6 +72,11 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--ngram_lm", default=None, help="ARPA n-gram file")
     p.add_argument("--data_type", default="wav", choices=["wav", "feat",
                                                           "kaldi"])
+    p.add_argument("--quantize", default="none", choices=["none", "int8"],
+                   help="int8: per-channel weight-only quantization of "
+                        "the matmul weights (utils/quantize.py); halves "
+                        "weight HBM traffic on the bandwidth-bound "
+                        "decode path")
     p.add_argument("--dp", type=int, default=1,
                    help="shard decode batches over this many devices "
                         "(-1: all). The mesh analog of the reference's "
@@ -126,6 +131,12 @@ def main(argv=None):
     char_dict = load_dict(args.dict_path)
     model, params, cfg = load_model(args.config, args.checkpoint,
                                     fallback_vocab=len(char_dict))
+    if getattr(args, "quantize", "none") == "int8":
+        from openeat_tpu.utils.quantize import quantize_params, quantized_bytes
+        params = quantize_params(params)
+        now, fp32 = quantized_bytes(params)
+        logger.info("int8 weight quantization: %.1f MB (%.2fx vs fp32)",
+                    now / 1e6, fp32 / max(now, 1))
     id2tok = {v: k for k, v in char_dict.items()}
     bpe = load_bpe(args.bpe_model)
     collate_conf = dict(cfg.get("collate_conf", {}) or {})

@@ -54,6 +54,8 @@ def get_parser():
     p.add_argument("--enc_capacity", type=int, default=512,
                    help="slots>1: encoder-output rows kept per stream "
                         "for final rescoring (subsampled frames)")
+    p.add_argument("--quantize", default="none", choices=["none", "int8"],
+                   help="int8 weight-only quantization (utils/quantize.py)")
     return p
 
 
@@ -63,6 +65,9 @@ def main(argv=None):
     char_dict = load_dict(args.dict_path)
     model, params, cfg = load_model(args.config, args.checkpoint,
                                     fallback_vocab=len(char_dict))
+    if args.quantize == "int8":
+        from openeat_tpu.utils.quantize import quantize_params
+        params = quantize_params(params)
     id2tok = {v: k for k, v in char_dict.items()}
     utts = parse_manifest(args.test_data, char_dict,
                           max_length=10 ** 9, sort=False)

@@ -113,10 +113,6 @@ class HostFrontend:
         self._extract_full_groups()
 
     def _ingest(self, feats: np.ndarray) -> None:
-        if self.normalization == "running":
-            self._nsum += feats.sum(0)
-            self._nsumsq += (feats.astype(np.float64) ** 2).sum(0)
-            self._nn += feats.shape[0]
         self.frames = np.concatenate([self.frames, feats], axis=0)
 
     def _trim_samples(self) -> None:
@@ -164,7 +160,29 @@ class HostFrontend:
         """Normalized feature window [<=n, mel] starting at ABSOLUTE
         frame f0 (short only at the end of the stream — caller pads).
         Consumers read monotonically increasing f0, so frames behind f0
-        are trimmed here (long-stream memory bound)."""
+        are trimmed here (long-stream memory bound).
+
+        "running" stats cover exactly the frames [0, f0+n) — the frames
+        the encoder is allowed to see at this chunk — NOT everything
+        ingested so far: ingestion timing depends on audio arrival
+        pattern (piece sizes, scheduler interleaving), and normalizing
+        with whatever happened to be buffered made the SAME stream
+        decode differently under different arrival patterns (caught by
+        the round-3 serving runtime verify drive)."""
+        if self.normalization == "running":
+            # fold frames [self._nn, f0+n) into the running stats; the
+            # fold point only moves forward (window ends are
+            # monotonic: next f0' >= f0 and n is fixed), and folded
+            # frames are never behind f0 (f0' - f0 <= n), so trimming
+            # below never drops an unfolded frame
+            end = min(f0 + n, self.n_frames)
+            if end > self._nn:
+                seg = self.frames[self._nn - self._frames_base:
+                                  end - self._frames_base
+                                  ].astype(np.float64)
+                self._nsum += seg.sum(0)
+                self._nsumsq += (seg ** 2).sum(0)
+                self._nn = end
         cut = f0 - self._frames_base
         if cut > 0:
             self.frames = self.frames[cut:]

@@ -86,6 +86,16 @@ class ASRModel(nn.Module):
     def eos(self) -> int:
         return self.vocab_size - 1
 
+    def apply(self, variables, *args, **kwargs):
+        """flax apply, additionally accepting int8 weight-quantized
+        variables (utils/quantize.py QTensor leaves are widened here,
+        inside the caller's jit, so every decode entry point serves
+        quantized checkpoints unchanged)."""
+        from openeat_tpu.utils.quantize import maybe_dequantize
+        return nn.Module.apply(
+            self, maybe_dequantize(variables, self.compute_dtype),
+            *args, **kwargs)
+
     def setup(self):
         act = get_activation(self.activation_type)
         pos_drop = (self.dropout_rate if self.positional_dropout_rate is None

@@ -51,6 +51,14 @@ class LanguageModel(nn.Module):
     def eos(self) -> int:
         return self.vocab_size - 1
 
+    def apply(self, variables, *args, **kwargs):
+        """flax apply accepting int8 weight-quantized variables — same
+        hook as ASRModel.apply (utils/quantize.py)."""
+        from openeat_tpu.utils.quantize import maybe_dequantize
+        return nn.Module.apply(
+            self, maybe_dequantize(variables, self.compute_dtype),
+            *args, **kwargs)
+
     def setup(self):
         self.embed = nn.Embed(self.vocab_size, self.d_model,
                               dtype=self.compute_dtype)

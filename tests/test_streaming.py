@@ -193,9 +193,12 @@ def test_host_frontend_trims_buffers(rng):
         while fe.n_frames - f0 >= win:
             got = fe.window(f0, win)
             want = oracle.frames[f0: f0 + win]
-            mean = oracle._nsum / oracle._nn
-            var = np.maximum(
-                oracle._nsumsq / oracle._nn - mean ** 2, 0.0)
+            # "running" stats cover exactly the frames visible at this
+            # window's end, [0, f0+win) — arrival-pattern-invariant
+            # (see HostFrontend.window)
+            seen = oracle.frames[: f0 + win].astype(np.float64)
+            mean = seen.mean(0)
+            var = np.maximum((seen ** 2).mean(0) - mean ** 2, 0.0)
             want = ((want - mean) / np.sqrt(var + 1e-8)).astype(
                 np.float32)
             np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

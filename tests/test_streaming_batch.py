@@ -175,6 +175,43 @@ def test_slot_reuse_is_clean(small_model):
         batch.open()  # h3 still holds the only slot
 
 
+def test_running_norm_arrival_invariance(small_model):
+    """Under "running" normalization the hypothesis must depend only on
+    the audio, not on HOW it arrived (piece sizes / whether chunk steps
+    interleave with accepts): the running stats fold exactly the frames
+    visible at each window end (HostFrontend.window). Regression for a
+    round-3 bug where stats covered whatever was buffered at step time,
+    so the serving runtime (big async pieces) decoded the same stream
+    differently from the CLI (fixed 200 ms pieces)."""
+    from openeat_tpu.decode.streaming_batch import StreamingBatch
+
+    model, params = small_model
+    rng = np.random.default_rng(9)
+    wav = _wavs(rng, [13000])[0]
+
+    def run(pieces, interleave_steps):
+        batch = StreamingBatch(model, params, slots=2, chunk_size=CHUNK,
+                               num_left_chunks=LEFT, num_mel_bins=F,
+                               normalization="running", beam_size=5,
+                               max_hyp_len=24, enc_capacity=64)
+        h = batch.open()
+        for p in pieces:
+            batch.accept(h, p)
+            if interleave_steps:
+                batch.run_ready()
+        toks = batch.finish(h, rescore=True, ctc_weight=0.5)
+        batch.close(h)
+        return toks
+
+    runs = [
+        run([wav[i: i + 2400] for i in range(0, len(wav), 2400)], True),
+        run([wav[i: i + 2400] for i in range(0, len(wav), 2400)], False),
+        run([wav], False),
+        run([wav[i: i + 5100] for i in range(0, len(wav), 5100)], True),
+    ]
+    assert all(r == runs[0] for r in runs), runs
+
+
 def test_stream_recognize_cli_slots(tmp_path):
     """bin/stream_recognize --slots 4 (batched lockstep runtime) emits
     the SAME hypotheses as --slots 1 (sequential B=1 runtime) over a
