@@ -47,6 +47,7 @@ Design notes:
 from __future__ import annotations
 
 import json
+import logging
 import queue
 import socket
 import socketserver
@@ -127,6 +128,8 @@ class AsrServer:
     maps token string -> id (bin/serve.py loads it). All decode
     hyperparameters mirror bin/stream_recognize defaults.
     """
+
+    MAX_PENDING_S = 600.0  # max buffered audio per not-yet-admitted session
 
     def __init__(self, model, params, char_dict, *, host="127.0.0.1",
                  port=0, slots=8, chunk_size=16, num_left_chunks=4,
@@ -262,7 +265,18 @@ class AsrServer:
                 except Exception as e:  # keep serving other sessions
                     sess.outbox.put({"event": "error", "message": str(e)})
                     self._teardown(sess)
-            self._advance()
+            try:
+                self._advance()
+            except Exception:
+                # a failing lockstep step is fatal for every live
+                # session (shared device state) but must not kill the
+                # scheduler: fail the sessions, keep accepting new ones
+                logging.getLogger(__name__).exception(
+                    "chunk step failed; dropping live sessions")
+                for sess in list(self._live.values()):
+                    sess.outbox.put({"event": "error",
+                                     "message": "internal decode error"})
+                    self._teardown(sess)
 
     def _apply(self, kind: str, sess: _Session, data):
         if kind == "open":
@@ -275,6 +289,16 @@ class AsrServer:
                 wav = resample(wav, sess.sample_rate, self.server_rate)
             sess.audio_samples += len(wav)
             if sess.handle is None:
+                # admission-queue backpressure: a session can buffer at
+                # most MAX_PENDING_S seconds of audio before a slot
+                # frees — beyond that the client is misbehaving (or the
+                # server is drastically over-subscribed) and buffering
+                # forever would grow host memory without bound
+                pend = sum(len(a) for a in sess.pending_audio)
+                if pend + len(wav) > self.MAX_PENDING_S * self.server_rate:
+                    raise RuntimeError(
+                        f"admission queue overflow: >{self.MAX_PENDING_S}"
+                        " s of audio buffered before a slot freed")
                 sess.pending_audio.append(wav)
             else:
                 self.batch.accept(sess.handle, wav)
