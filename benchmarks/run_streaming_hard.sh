@@ -46,12 +46,17 @@ if [ ! -d "$exp_dir/epoch_$max_epoch" ]; then
 # static 16-frame chunks (chunked attention masks in training), global
 # CMVN instead of per-utt normalization (train.py flips it when
 # --cmvn_file is given). Schedule/batching follow conf_synth.yaml
-# (run_recipe_tpu.sh stage 2 rationale).
+# (run_recipe_tpu.sh stage 2 rationale) EXCEPT warmup: the hard
+# profile's warmup 2 hits peak lr before CTC alignment settles on this
+# noisy corpus and the causal flagship creeps at train_loss ~29 for
+# 35+ epochs (measured on this drive — same failure the lmhard profile
+# hit; see run_recipe_tpu.sh). warmup 8 fixes the ramp.
 import yaml
 cfg = yaml.safe_load(open("$corpus/conf_synth.yaml"))
 cfg["model_conf"].update(causal=True, static_chunk_size=16,
                          num_left_chunks=-1)
 cfg["max_epoch"] = $max_epoch
+cfg["warmup_epoch"] = 8
 yaml.safe_dump(cfg, open("$work/conf_stream.yaml", "w"),
                sort_keys=False)
 PY
