@@ -98,10 +98,10 @@ class EncoderLayer(nn.Module):
         (True=attend); mask_pad: bool [B,1,T] padding mask for the conv
         module (defaults to `mask` when it is [B,1,T]); pos_emb: [1,T,D].
         """
-        if mask_pad is None and self.use_cnn_module:
+        if mask_pad is None and (self.use_cnn_module or self.moe_experts):
             assert mask.shape[1] == 1, \
                 "a [B,T,T] attention mask needs an explicit [B,1,T] " \
-                "mask_pad for the convolution module"
+                "mask_pad for the convolution/MoE modules"
             mask_pad = mask
         drop = lambda h: self.drop(h, deterministic=deterministic)
 
@@ -124,7 +124,13 @@ class EncoderLayer(nn.Module):
         if self.use_adapter:
             adapter_update = self.adapter(x, deterministic=deterministic)
 
-        h = self.feed_forward(self.norm_ff(x), deterministic=deterministic)
+        if self.moe_experts:
+            # router must not see pad positions (capacity + aux loss)
+            h = self.feed_forward(self.norm_ff(x), pad_mask=mask_pad,
+                                  deterministic=deterministic)
+        else:
+            h = self.feed_forward(self.norm_ff(x),
+                                  deterministic=deterministic)
         x = x + self.ff_scale * drop(h) + adapter_update
 
         if self.use_cnn_module:
@@ -155,6 +161,10 @@ class EncoderLayer(nn.Module):
         adapter_update = 0.0
         if self.use_adapter:
             adapter_update = self.adapter(x, deterministic=True)
+        # streamed chunks are fully valid except the final flush (whose
+        # tail is discarded via enc length), so the MoE router sees no
+        # pad_mask here — see feed_forward.MoEPositionwiseFeedForward's
+        # streaming note
         h = self.feed_forward(self.norm_ff(x), deterministic=True)
         x = x + self.ff_scale * h + adapter_update
         return self.norm_final(x), k_new, v_new, new_cnn

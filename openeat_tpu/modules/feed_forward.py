@@ -53,6 +53,14 @@ class MoEPositionwiseFeedForward(nn.Module):
     Routing is computed in float32 regardless of compute dtype
     (router logits are small but decide argmaxes; bf16 ties flap).
 
+    Padding: pass `pad_mask` (bool, True=valid, [B, T] or [B, 1, T]) so
+    pad positions route nowhere — they would otherwise consume expert
+    capacity (dropping real tokens near saturation) and bias the
+    load-balance loss toward whatever experts the pad embedding prefers.
+    With the mask, valid-token routing is invariant to how much padding
+    the batch carries (capacity permitting). Pad outputs are 0; the
+    caller's residual passes them through, same as a dropped token.
+
     Streaming note: capacity is computed from the tokens the call sees,
     so a streamed chunk uses a per-chunk capacity while the offline
     forward uses a per-utterance one — routing (top-k) is identical,
@@ -71,7 +79,8 @@ class MoEPositionwiseFeedForward(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, deterministic: bool = True):
+    def __call__(self, x: jax.Array, *, pad_mask: jax.Array | None = None,
+                 deterministic: bool = True):
         b, t, d = x.shape
         s = b * t
         e = self.num_experts
@@ -80,6 +89,11 @@ class MoEPositionwiseFeedForward(nn.Module):
         cap = max(cap, k)
 
         xf = x.reshape(s, d)
+        if pad_mask is not None:
+            valid = pad_mask.reshape(b, -1, t)[:, 0, :].reshape(s)
+            valid = valid.astype(jnp.float32)  # [S] 1=real token, 0=pad
+        else:
+            valid = jnp.ones((s,), jnp.float32)
         logits = nn.Dense(e, dtype=jnp.float32, name="router")(
             xf.astype(jnp.float32))
         probs = jax.nn.softmax(logits, axis=-1)  # [S, E] f32
@@ -92,6 +106,7 @@ class MoEPositionwiseFeedForward(nn.Module):
             one = jax.nn.one_hot(idx, e, dtype=jnp.float32)
             sel = sel + one
             masked = masked * (1.0 - one)
+        sel = sel * valid[:, None]  # pads route nowhere, hold no capacity
         gates = probs * sel
         # renormalize over the selected k (GShard convention)
         gates = gates / jnp.maximum(
@@ -106,9 +121,13 @@ class MoEPositionwiseFeedForward(nn.Module):
         combine = dispatch * gates[..., None].astype(self.dtype)
 
         # Switch aux loss: num_experts * sum_e f_e * P_e, where f_e is
-        # the routed-token fraction and P_e the mean router probability
-        frac = (sel / k).mean(0)  # [E]
-        aux = e * jnp.sum(frac * probs.mean(0))
+        # the routed-token fraction and P_e the mean router probability —
+        # both over VALID tokens only, so the balance target isn't
+        # polluted by pad positions
+        n_valid = jnp.maximum(valid.sum(), 1.0)
+        frac = sel.sum(0) / (k * n_valid)  # [E]
+        p_mean = (probs * valid[:, None]).sum(0) / n_valid
+        aux = e * jnp.sum(frac * p_mean)
         self.sow("intermediates", "moe_aux_loss", aux)
 
         w_in = self.param(

@@ -101,6 +101,34 @@ def test_moe_capacity_drops_are_zero():
     np.testing.assert_allclose(y.reshape(-1, 8)[dropped], 0.0, atol=1e-6)
 
 
+def test_moe_padding_invariance():
+    """With pad_mask, valid tokens' outputs and the aux loss are
+    invariant to how much padding the batch carries (pads route
+    nowhere, hold no capacity, and are excluded from the balance
+    statistics); pad outputs are exactly 0."""
+    e, k = 4, 2
+    moe = _moe(e=e, k=k, cap=8.0)  # ample capacity: no drops either way
+    rng = _rng()
+    x = jnp.asarray(rng.standard_normal((2, 6, 8)), jnp.float32)
+    params = moe.init(jax.random.PRNGKey(7), x)
+    y_ref, var_ref = moe.apply(params, x, mutable=["intermediates"])
+    junk = jnp.asarray(10.0 * rng.standard_normal((2, 4, 8)), jnp.float32)
+    x_pad = jnp.concatenate([x, junk], axis=1)  # [2, 10, 8]
+    pad_mask = (jnp.arange(10) < 6)[None, :].repeat(2, 0)  # [B, T]
+    y_pad, var_pad = moe.apply(params, x_pad, pad_mask=pad_mask,
+                               mutable=["intermediates"])
+    np.testing.assert_allclose(np.asarray(y_pad[:, :6]),
+                               np.asarray(y_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(y_pad[:, 6:]), 0.0, atol=1e-6)
+    aux_ref = float(jax.tree.leaves(var_ref["intermediates"])[0])
+    aux_pad = float(jax.tree.leaves(var_pad["intermediates"])[0])
+    np.testing.assert_allclose(aux_pad, aux_ref, rtol=1e-5)
+    # the [B, 1, T] conv-style mask layout must work too
+    y_pad2 = moe.apply(params, x_pad, pad_mask=pad_mask[:, None, :])
+    np.testing.assert_allclose(np.asarray(y_pad2), np.asarray(y_pad),
+                               atol=1e-6)
+
+
 def _model(**kw):
     d = dict(input_size=F, vocab_size=VOCAB, encoder_num_blocks=2,
              decoder_num_blocks=1, r_decoder_num_blocks=0,
