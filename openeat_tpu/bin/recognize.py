@@ -13,6 +13,7 @@ single process saturates the chip.
 from __future__ import annotations
 
 import argparse
+import json
 import os
 
 import jax
@@ -77,6 +78,14 @@ def get_parser() -> argparse.ArgumentParser:
                         "the matmul weights (utils/quantize.py); halves "
                         "weight HBM traffic on the bandwidth-bound "
                         "decode path")
+    p.add_argument("--timestamp_file", default=None,
+                   help="also write per-token CTC emission timestamps "
+                        "as JSONL ({key, tokens, times_ms}; onset "
+                        "convention, one encoder position = "
+                        "subsampling_rate x 10 ms). Supported for the "
+                        "CTC-alignment modes: ctc_greedy_search, "
+                        "ctc_prefix_beam_search, attention_rescoring "
+                        "(the winning prefix-beam hypothesis' times)")
     p.add_argument("--dp", type=int, default=1,
                    help="shard decode batches over this many devices "
                         "(-1: all). The mesh analog of the reference's "
@@ -205,12 +214,24 @@ def main(argv=None):
         ctc_weight=args.ctc_weight, reverse_weight=args.reverse_weight,
         lm_logp_fn=lm_logp_fn,
         lm_weight=args.lm_weight if lm_logp_fn else 0.0,
-        lm_style=lm_style))
+        lm_style=lm_style, return_index=True))
     rescore_scores = jax.jit(
         lambda enc, lens, nb, nl, ns: rescoring_scores(
             model, params, enc, lens, nb, nl, ns,
             ctc_weight=args.ctc_weight,
             reverse_weight=args.reverse_weight))
+
+    want_times = args.timestamp_file is not None
+    if want_times and args.mode == "attention":
+        raise SystemExit("--timestamp_file needs a CTC frame alignment; "
+                         "the attention mode has none (use "
+                         "ctc_greedy_search / ctc_prefix_beam_search / "
+                         "attention_rescoring)")
+    # ms of audio per encoder position (frame shift 10 ms x subsampling)
+    pos_ms = {"linear": 1, "conv2d": 4, "conv2d6": 6,
+              "conv2d8": 8}[model.input_layer] * 10.0
+    ts_out = (open(args.timestamp_file, "w", encoding="utf-8")
+              if want_times else None)
 
     n_done = 0
     os.makedirs(os.path.dirname(os.path.abspath(args.result_file)),
@@ -219,13 +240,22 @@ def main(argv=None):
         for keys, batch in iter(feeder):
             enc, enc_lens = encode(batch["features"],
                                    batch["features_length"])
+            times = None
             if args.mode == "ctc_greedy_search":
-                hyps, hyp_lens = ctc_greedy_search(ctc_logp(enc), enc_lens)
+                if want_times:
+                    hyps, hyp_lens, times = ctc_greedy_search(
+                        ctc_logp(enc), enc_lens, return_times=True)
+                else:
+                    hyps, hyp_lens = ctc_greedy_search(ctc_logp(enc),
+                                                       enc_lens)
             elif args.mode == "ctc_prefix_beam_search":
-                nbest, nbest_lens, _ = ctc_prefix_beam_search(
+                out = ctc_prefix_beam_search(
                     ctc_logp(enc), enc_lens, beam_size=args.beam_size,
-                    max_hyp_len=args.max_hyp_len)
+                    max_hyp_len=args.max_hyp_len, return_times=want_times)
+                nbest, nbest_lens = out[0], out[1]
                 hyps, hyp_lens = nbest[:, 0], nbest_lens[:, 0]
+                if want_times:
+                    times = out[3][:, 0]
             elif args.mode == "attention":
                 max_steps = min(int(enc.shape[1]), args.max_hyp_len)
                 if args.adaptive_steps:
@@ -238,26 +268,46 @@ def main(argv=None):
                     max_steps=max_steps,
                     length_penalty=args.length_penalty)
             else:  # attention_rescoring
-                nbest, nbest_lens, nbest_scores = ctc_prefix_beam_search(
+                out = ctc_prefix_beam_search(
                     ctc_logp(enc), enc_lens, beam_size=args.beam_size,
-                    max_hyp_len=args.max_hyp_len)
+                    max_hyp_len=args.max_hyp_len, return_times=want_times)
+                nbest, nbest_lens, nbest_scores = out[0], out[1], out[2]
                 if ngram is not None and args.lm_weight > 0:
                     # host n-gram rescoring over the nbest (kenlm path,
                     # reference asr_model.py:514-516)
-                    hyps, hyp_lens = _ngram_rescore(
+                    hyps, hyp_lens, win = _ngram_rescore(
                         rescore_scores, enc, enc_lens, nbest, nbest_lens,
                         nbest_scores, ngram, id2tok, args)
                 else:
-                    hyps, hyp_lens, _ = rescore(enc, enc_lens, nbest,
-                                                nbest_lens, nbest_scores)
+                    hyps, hyp_lens, _, win = rescore(enc, enc_lens, nbest,
+                                                     nbest_lens,
+                                                     nbest_scores)
+                if want_times:
+                    b = nbest.shape[0]
+                    times = np.asarray(out[3])[np.arange(b),
+                                               np.asarray(win)]
             hyps = np.asarray(hyps)
             hyp_lens = np.asarray(hyp_lens)
+            if times is not None:
+                times = np.asarray(times)
             for i, key in enumerate(keys):
                 text = token_ids_to_text(
                     hyps[i][: hyp_lens[i]], id2tok, eos_id=model.eos)
                 fout.write(f"{key} {text}\n")
+                if ts_out is not None:
+                    n = int(hyp_lens[i])
+                    toks = [id2tok.get(int(t), "<unk>")
+                            for t in hyps[i][:n]]
+                    ts_out.write(json.dumps(
+                        {"key": key, "tokens": toks,
+                         "times_ms": [float(t * pos_ms)
+                                      for t in times[i][:n]]},
+                        ensure_ascii=False) + "\n")
             n_done += len(keys)
             logger.info("decoded %d utts", n_done)
+    if ts_out is not None:
+        ts_out.close()
+        logger.info("wrote %s", args.timestamp_file)
     logger.info("wrote %s", args.result_file)
 
 
@@ -288,7 +338,8 @@ def _ngram_rescore(rescore_scores, enc, enc_lens, nbest, nbest_lens,
             score[bi, ki] += args.lm_weight * ngram.score(
                 " ".join(toks), bos=True, eos=True)
     best = score.argmax(axis=1)
-    return (nbest_np[np.arange(b), best], lens_np[np.arange(b), best])
+    return (nbest_np[np.arange(b), best], lens_np[np.arange(b), best],
+            best)
 
 
 if __name__ == "__main__":

@@ -47,6 +47,20 @@ def get_parser():
                         "the matmul weights (utils/quantize.py) — halves "
                         "weight HBM traffic on the bandwidth-bound "
                         "decode path")
+    p.add_argument("--endpoint", action="store_true",
+                   help="finalize a stream server-side when the greedy "
+                        "CTC path hits the trailing-silence rules "
+                        "(decode/endpoint.py); the final event carries "
+                        "endpoint: true")
+    p.add_argument("--endpoint_rule1_ms", type=float, default=5000.0,
+                   help="trailing silence (ms) ending a stream that "
+                        "never produced a token")
+    p.add_argument("--endpoint_rule2_ms", type=float, default=1000.0,
+                   help="trailing silence (ms) ending a stream after "
+                        "speech")
+    p.add_argument("--endpoint_rule3_ms", type=float, default=20000.0,
+                   help="maximum utterance length (ms) before a forced "
+                        "endpoint")
     return p
 
 
@@ -61,6 +75,13 @@ def build_server(args) -> AsrServer:
     # bin/stream_recognize.
     per_utt = cfg.get("collate_conf", {}).get("normalization", True)
     norm = "running" if per_utt else "none"
+    ep_conf = None
+    if args.endpoint:
+        from openeat_tpu.decode.endpoint import EndpointConfig
+        ep_conf = EndpointConfig(
+            rule1_min_trailing_silence=args.endpoint_rule1_ms,
+            rule2_min_trailing_silence=args.endpoint_rule2_ms,
+            rule3_min_utterance_length=args.endpoint_rule3_ms)
     return AsrServer(
         model, params, char_dict, host=args.host, port=args.port,
         slots=args.slots, chunk_size=args.chunk_size,
@@ -68,7 +89,8 @@ def build_server(args) -> AsrServer:
         sample_rate=args.sample_rate, normalization=norm,
         beam_size=args.beam_size, max_hyp_len=args.max_hyp_len,
         enc_capacity=args.enc_capacity, ctc_weight=args.ctc_weight,
-        reverse_weight=args.reverse_weight, final_mode=args.final_mode)
+        reverse_weight=args.reverse_weight, final_mode=args.final_mode,
+        endpoint=args.endpoint, endpoint_config=ep_conf)
 
 
 def main(argv=None):

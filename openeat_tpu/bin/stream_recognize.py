@@ -11,6 +11,7 @@ the reference only ships streaming hooks).
 from __future__ import annotations
 
 import argparse
+import json
 import time
 
 import numpy as np
@@ -56,7 +57,21 @@ def get_parser():
                         "for final rescoring (subsampled frames)")
     p.add_argument("--quantize", default="none", choices=["none", "int8"],
                    help="int8 weight-only quantization (utils/quantize.py)")
+    p.add_argument("--timestamp_file", default=None,
+                   help="also write per-token CTC emission timestamps "
+                        "as JSONL ({key, tokens, times_ms}; onset "
+                        "convention, 40 ms granularity; rescoring "
+                        "finals carry the winning prefix-beam "
+                        "hypothesis' times)")
     return p
+
+
+def _write_times(ts_out, key, tok_ids, times_ms, id2tok):
+    ts_out.write(json.dumps(
+        {"key": key,
+         "tokens": [id2tok.get(int(t), "<unk>") for t in tok_ids],
+         "times_ms": [float(t) for t in times_ms]},
+        ensure_ascii=False) + "\n")
 
 
 def main(argv=None):
@@ -92,6 +107,8 @@ def main(argv=None):
         return _run_batched(args, logger, model, params, utts, id2tok,
                             norm)
     lat = []
+    ts_out = (open(args.timestamp_file, "w", encoding="utf-8")
+              if args.timestamp_file else None)
     with open(args.result_file, "w", encoding="utf-8") as fout:
         for u in utts:
             path, start, end = parse_wav_entry(u.path)
@@ -111,9 +128,14 @@ def main(argv=None):
             sr.finish()  # flush the final partial group + chunk
             text = token_ids_to_text(sr.result(), id2tok)
             fout.write(f"{u.key} {text}\n")
+            if ts_out is not None:
+                _write_times(ts_out, u.key, sr.result(),
+                             sr.result_times_ms(), id2tok)
             lat.append(t_max)
             logger.info("%s: '%s' (max piece latency %.1f ms)", u.key,
                         text, t_max * 1000)
+    if ts_out is not None:
+        ts_out.close()
     logger.info("done: %d utts, p50 piece latency %.1f ms, p99 %.1f ms",
                 len(lat), np.percentile(lat, 50) * 1000,
                 np.percentile(lat, 99) * 1000)
@@ -140,6 +162,7 @@ def _run_batched(args, logger, model, params, utts, id2tok, norm):
     t0 = time.time()
     total_audio = 0.0
     results = {}
+    times = {}  # key -> (tokens, times_ms)
     while pending or live:
         while pending and len(live) < args.slots:
             u = pending.pop(0)
@@ -164,6 +187,7 @@ def _run_batched(args, logger, model, params, utts, id2tok, norm):
             toks = batch.finish(h, rescore=rescore,
                                 ctc_weight=args.ctc_weight,
                                 reverse_weight=args.reverse_weight)
+            times[u.key] = (list(toks), h.result_times_ms())
             batch.close(h)
             results[u.key] = token_ids_to_text(toks, id2tok)
             logger.info("%s: '%s'", u.key, results[u.key])
@@ -172,6 +196,11 @@ def _run_batched(args, logger, model, params, utts, id2tok, norm):
     with open(args.result_file, "w", encoding="utf-8") as fout:
         for u in utts:
             fout.write(f"{u.key} {results[u.key]}\n")
+    if args.timestamp_file:
+        with open(args.timestamp_file, "w", encoding="utf-8") as ts_out:
+            for u in utts:
+                toks, tms = times[u.key]
+                _write_times(ts_out, u.key, toks, tms, id2tok)
     logger.info("done: %d utts over %d slots, %.1f audio-sec in %.1fs "
                 "wall (%.1fx realtime aggregate)", len(utts), args.slots,
                 total_audio, dt, total_audio / max(dt, 1e-9))

@@ -44,6 +44,10 @@ class BeamState(NamedTuple):
     h2: jax.Array         # [K] uint32 rolling hash (independent)
     pb: jax.Array         # [K] log prob of prefix ending in blank
     pnb: jax.Array        # [K] log prob ending in non-blank
+    times: jax.Array      # [K, L] int32 emission frame per token (onset
+    #                       of the highest-mass path: each equal-prefix
+    #                       merge keeps the best-scoring candidate's
+    #                       times — Viterbi-flavored, WeNet-style)
 
 
 def _logaddexp(a, b):
@@ -75,21 +79,30 @@ def prefix_beam_init(beam_size: int, max_hyp_len: int) -> BeamState:
         h2=jnp.zeros((k,), jnp.uint32),
         pb=jnp.full((k,), NEG_INF).at[0].set(0.0),
         pnb=jnp.full((k,), NEG_INF),
+        times=jnp.zeros((k, max_hyp_len), jnp.int32),
     )
 
 
-def prefix_beam_finalize(state: BeamState):
-    """(prefixes [K, L], lens [K], scores [K]) sorted best-first."""
+def prefix_beam_finalize(state: BeamState, *, with_times: bool = False):
+    """(prefixes [K, L], lens [K], scores [K]) sorted best-first;
+    with_times appends the emission-frame matrix [K, L]."""
     scores = _logaddexp(state.pb, state.pnb)
     order = jnp.argsort(-scores)
-    return state.prefixes[order], state.lens[order], scores[order]
+    out = (state.prefixes[order], state.lens[order], scores[order])
+    if with_times:
+        out = out + (state.times[order],)
+    return out
 
 
 def prefix_beam_step(state: BeamState, lp: jax.Array, active: jax.Array,
-                     *, blank_id: int = 0) -> BeamState:
+                     frame_idx: jax.Array | int = 0, *,
+                     blank_id: int = 0) -> BeamState:
     """One frame of the prefix-beam DP. lp: [V] log-probs; active:
     scalar bool — an inactive frame is an exact identity step (the
-    same mechanism that pads ragged batches pads ragged streams)."""
+    same mechanism that pads ragged batches pads ragged streams).
+    frame_idx: absolute frame index recorded as the emission time of
+    tokens first appended at this step (callers that don't care about
+    timestamps can leave the default)."""
     k, max_hyp_len = state.prefixes.shape
     c = k  # first-stage topk prune width (reference :363)
     n_cand = k * (c + 1)
@@ -142,7 +155,14 @@ def prefix_beam_step(state: BeamState, lp: jax.Array, active: jax.Array,
          jnp.tile(top_v.astype(jnp.int32), (k,))])
 
     # ---- merge equal prefixes: lexsort by (h1, h2) ----
-    order = jnp.lexsort((cand_h2, cand_h1))
+    # score is the most-minor key so each segment's FIRST candidate is
+    # its highest-mass path: the representative names the emission
+    # times, so a token created long ago on a weak tail path does not
+    # pin an early timestamp once the dominant path emits it later
+    # (Viterbi-flavored time selection; prefix identity is unaffected —
+    # merged candidates reconstruct identical token sequences)
+    cand_score = _logaddexp(cand_pb, cand_pnb)
+    order = jnp.lexsort((-cand_score, cand_h2, cand_h1))
     s_pb, s_pnb = cand_pb[order], cand_pnb[order]
     s_h1, s_h2 = cand_h1[order], cand_h2[order]
     s_parent, s_tok = cand_parent[order], cand_tok[order]
@@ -174,18 +194,24 @@ def prefix_beam_step(state: BeamState, lp: jax.Array, active: jax.Array,
     upd = new_prefixes.at[jnp.arange(k), pos].set(
         jnp.where(extend, tok, new_prefixes[jnp.arange(k), pos]))
     new_prefixes = jnp.where(extend[:, None], upd, new_prefixes)
+    new_times = state.times[parent]
+    fi = jnp.asarray(frame_idx, jnp.int32)
+    upd_t = new_times.at[jnp.arange(k), pos].set(
+        jnp.where(extend, fi, new_times[jnp.arange(k), pos]))
+    new_times = jnp.where(extend[:, None], upd_t, new_times)
     new_lens = jnp.where(extend, new_lens + 1, new_lens)
     new_last = jnp.where(extend, tok, new_last)
     tu = tok.astype(jnp.uint32) + 1
     nh1 = jnp.where(extend, nh1 * _H1_MUL + tu, nh1)
     nh2 = jnp.where(extend, nh2 * _H2_MUL + tu * jnp.uint32(97), nh2)
     new_state = BeamState(new_prefixes, new_lens, new_last, nh1, nh2,
-                          m_pb[top_seg], m_pnb[top_seg])
+                          m_pb[top_seg], m_pnb[top_seg], new_times)
     return new_state
 
 
 def _search_single(log_probs: jax.Array, length: jax.Array,
-                   beam_size: int, max_hyp_len: int, blank_id: int):
+                   beam_size: int, max_hyp_len: int, blank_id: int,
+                   with_times: bool):
     """log_probs: [T, V]; length: scalar. Returns (prefixes [K, L],
     lens [K], scores [K] = log(pb+pnb), sorted best-first)."""
     t_max = log_probs.shape[0]
@@ -193,23 +219,28 @@ def _search_single(log_probs: jax.Array, length: jax.Array,
 
     def step(state, inputs):
         lp, t_idx = inputs
-        return prefix_beam_step(state, lp, t_idx < length,
+        return prefix_beam_step(state, lp, t_idx < length, t_idx,
                                 blank_id=blank_id), None
 
     final, _ = jax.lax.scan(step, init, (log_probs, jnp.arange(t_max)))
-    return prefix_beam_finalize(final)
+    return prefix_beam_finalize(final, with_times=with_times)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("beam_size", "max_hyp_len", "blank_id"))
+                   static_argnames=("beam_size", "max_hyp_len", "blank_id",
+                                    "return_times"))
 def ctc_prefix_beam_search(ctc_log_probs: jax.Array, lens: jax.Array,
                            beam_size: int = 10, max_hyp_len: int = 64,
-                           blank_id: int = 0):
+                           blank_id: int = 0, return_times: bool = False):
     """Batched search. ctc_log_probs: [B, T, V]; lens: [B].
 
     Returns (prefixes [B, K, max_hyp_len] IGNORE_ID-padded,
-             prefix_lens [B, K], scores [B, K]) best-first.
+             prefix_lens [B, K], scores [B, K]) best-first;
+    return_times appends per-token emission frames [B, K, max_hyp_len]
+    (the frame a token first entered its prefix — onset convention,
+    one encoder position = subsampling_rate x 10 ms of audio).
     """
     fn = functools.partial(_search_single, beam_size=beam_size,
-                           max_hyp_len=max_hyp_len, blank_id=blank_id)
+                           max_hyp_len=max_hyp_len, blank_id=blank_id,
+                           with_times=return_times)
     return jax.vmap(fn)(ctc_log_probs, lens)

@@ -48,8 +48,7 @@ def attention_rescoring(model, params, encoder_out: jax.Array,
                         hyp_lens: jax.Array, ctc_scores: jax.Array, *,
                         ctc_weight: float = 0.5, reverse_weight: float = 0.0,
                         lm_logp_fn=None, lm_weight: float = 0.0,
-                        lm_style: str = "ar"
-                        ) -> tuple[jax.Array, jax.Array, jax.Array]:
+                        lm_style: str = "ar", return_index: bool = False):
     """Rescore prefix-beam nbest.
 
     encoder_out: [B, T, D]; hyps: [B, K, L] (IGNORE_ID padded);
@@ -61,7 +60,9 @@ def attention_rescoring(model, params, encoder_out: jax.Array,
     the bare eos-padded hypotheses and sums same-position scores — the
     reference's masked-LM pseudo-likelihood branch (asr_model.py:494-499).
 
-    Returns (best hyps [B, L], best lens [B], best scores [B]).
+    Returns (best hyps [B, L], best lens [B], best scores [B]);
+    return_index appends the winning nbest index [B] (e.g. to look up
+    the winner's prefix-beam emission times for timestamps).
     """
     score = rescoring_scores(
         model, params, encoder_out, encoder_lens, hyps, hyp_lens,
@@ -72,6 +73,8 @@ def attention_rescoring(model, params, encoder_out: jax.Array,
     best_hyps = hyps[jnp.arange(b), best]
     best_lens = hyp_lens[jnp.arange(b), best]
     best_scores = score[jnp.arange(b), best]
+    if return_index:
+        return best_hyps, best_lens, best_scores, best
     return best_hyps, best_lens, best_scores
 
 

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from openeat_tpu.decode.endpoint import EndpointConfig, Endpointer
 from openeat_tpu.models.asr_model import ASRModel
 from openeat_tpu.ops import fbank as fbank_mod
 
@@ -232,7 +233,8 @@ class StreamingRecognizer:
                  num_left_chunks: int = 4, sample_rate: int = 16000,
                  num_mel_bins: int | None = None, blank_id: int = 0,
                  collect_encoder_out: bool = False,
-                 normalization: str = "none"):
+                 normalization: str = "none",
+                 endpoint_config: EndpointConfig | None = None):
         """normalization: how to normalize fbank frames before the
         encoder. "none" feeds raw log-mel — correct for models trained
         with global CMVN (the GlobalCMVN layer lives inside the encoder
@@ -283,8 +285,14 @@ class StreamingRecognizer:
         self.cache_len = 0
         self.offset = 0          # absolute subsampled-frame position
         self.hyp: list[int] = []
+        self.times: list[int] = []   # emission position of each hyp token
         self.prev_tok = -1
         self.finished = False
+        # one encoder position = 4 feature frames x 10 ms
+        self.frame_ms = 40.0
+        self.endpointer = Endpointer(endpoint_config,
+                                     frame_ms=self.frame_ms,
+                                     blank_id=blank_id)
         # incremental fbank + running normalization live in the shared
         # host pipeline (also used per-slot by StreamingBatch)
         self.fe = HostFrontend(self.mel, self.rate, normalization)
@@ -341,12 +349,16 @@ class StreamingRecognizer:
             self.k_caches, self.v_caches = k_out, v_out
             self.cache_len = min(self.cache_len + self.chunk, self.left)
         self.cnn_caches = cnn
+        pos0 = self.offset
         self.offset += self.chunk
         out = []
-        for t in np.asarray(toks).tolist()[:valid]:
+        frame_toks = np.asarray(toks).tolist()[:valid]
+        for i, t in enumerate(frame_toks):
             if t != self.prev_tok and t != self.blank_id:
                 out.append(int(t))
+                self.times.append(pos0 + i)
             self.prev_tok = t
+        self.endpointer.feed(frame_toks)
         self.hyp += out
         return out
 
@@ -377,3 +389,13 @@ class StreamingRecognizer:
 
     def result(self) -> list[int]:
         return list(self.hyp)
+
+    def result_times_ms(self) -> list[float]:
+        """Emission time (onset, ms) of each token in result() —
+        greedy-path CTC timestamps at 40 ms granularity."""
+        return [p * self.frame_ms for p in self.times]
+
+    def endpoint_detected(self) -> bool:
+        """Trailing-silence endpoint decision over the greedy path
+        (decode/endpoint.py rules); latches True once triggered."""
+        return self.endpointer.detected

@@ -46,7 +46,8 @@ from openeat_tpu.decode.ctc_prefix_beam import (BeamState,
                                                prefix_beam_finalize,
                                                prefix_beam_init,
                                                prefix_beam_step)
-from openeat_tpu.decode.rescoring import attention_rescoring
+from openeat_tpu.decode.endpoint import EndpointConfig, Endpointer
+from openeat_tpu.decode.rescoring import rescoring_scores
 from openeat_tpu.decode.streaming import HostFrontend
 from openeat_tpu.models.asr_model import ASRModel
 
@@ -87,7 +88,7 @@ def _build_step(model: ASRModel, chunk: int, left: int, cap: int,
 
         def bstep(st, inp):
             lp, i = inp
-            return prefix_beam_step(st, lp, i < valid,
+            return prefix_beam_step(st, lp, i < valid, offset + i,
                                     blank_id=blank_id), None
 
         beam2, _ = jax.lax.scan(
@@ -164,27 +165,34 @@ def _get_rescorer(model, ctc_weight, reverse_weight):
     if fn is None:
         @jax.jit
         def fn(params, enc, enc_len, nb, nl, ns):
-            return attention_rescoring(
+            score = rescoring_scores(
                 model, params, enc[None], enc_len[None], nb[None],
                 nl[None], ns[None], ctc_weight=ctc_weight,
-                reverse_weight=reverse_weight)
+                reverse_weight=reverse_weight)[0]       # [K]
+            win = jnp.argmax(score)  # winner index -> tokens AND times
+            return nb[win][None], nl[win][None], win
 
         _RESCORE_CACHE[key] = fn
     return fn
 
 
 class _Slot:
-    __slots__ = ("in_use", "fe", "hyp", "prev_tok", "finished")
+    __slots__ = ("in_use", "fe", "hyp", "times", "prev_tok", "finished",
+                 "endpointer")
 
-    def __init__(self, mel: int, rate: int, normalization: str):
+    def __init__(self, mel: int, rate: int, normalization: str,
+                 endpoint_config: EndpointConfig | None, blank_id: int):
         self.in_use = False
         # incremental fbank + running norm + tail flush: the shared
         # host pipeline (one instance per stream, same class the B=1
         # StreamingRecognizer uses — single source of truth)
         self.fe = HostFrontend(mel, rate, normalization)
         self.hyp: list[int] = []
+        self.times: list[int] = []  # emission position per hyp token
         self.prev_tok = -1
         self.finished = False
+        self.endpointer = Endpointer(endpoint_config, frame_ms=40.0,
+                                     blank_id=blank_id)
 
 
 class StreamHandle:
@@ -212,6 +220,18 @@ class StreamHandle:
     def result(self) -> list[int]:
         return list(self._batch._slots[self.slot].hyp)
 
+    def result_times_ms(self) -> list[float]:
+        """Emission time (onset, ms) of each token in result() — CTC
+        timestamps at 40 ms granularity. Before finish(): greedy-path
+        times; after a rescoring finish(): the winning prefix-beam
+        hypothesis' emission times (same convention)."""
+        return [p * 40.0 for p in self._batch._slots[self.slot].times]
+
+    def endpoint_detected(self) -> bool:
+        """Trailing-silence endpoint decision over the greedy path
+        (decode/endpoint.py rules); latches True once triggered."""
+        return self._batch._slots[self.slot].endpointer.detected
+
 
 class StreamingBatch:
     """S-slot batched streaming recognizer (see module docstring)."""
@@ -221,7 +241,8 @@ class StreamingBatch:
                  sample_rate: int = 16000, num_mel_bins: int | None = None,
                  blank_id: int = 0, normalization: str = "none",
                  beam_size: int = 10, max_hyp_len: int = 64,
-                 enc_capacity: int = 512):
+                 enc_capacity: int = 512,
+                 endpoint_config: EndpointConfig | None = None):
         assert model.input_layer == "conv2d", \
             "streaming runtime currently supports conv2d subsampling"
         assert model.causal, "streaming needs a causal conv module"
@@ -244,7 +265,8 @@ class StreamingBatch:
         self.win_frames = 4 * chunk_size + 3
         self._step = _get_step(model, chunk_size, self.left, self.cap,
                                blank_id)
-        self._finalize_beam = jax.jit(prefix_beam_finalize)
+        self._finalize_beam = jax.jit(
+            functools.partial(prefix_beam_finalize, with_times=True))
 
         n_apps = model.encoder_num_blocks
         h = model.attention_heads
@@ -268,7 +290,9 @@ class StreamingBatch:
             enc_buf=jnp.zeros((s, self.cap + chunk_size, model.d_model),
                               jnp.float32),
         )
-        self._slots = [_Slot(self.mel, self.rate, normalization)
+        self.endpoint_config = endpoint_config
+        self._slots = [_Slot(self.mel, self.rate, normalization,
+                             endpoint_config, blank_id)
                        for _ in range(s)]
         self._beam0 = beam0
         # host mirror of state.offset: the device value advances by
@@ -292,8 +316,8 @@ class StreamingBatch:
         self._slots[handle.slot].in_use = False
 
     def _reset(self, i: int):
-        self._slots[i] = _Slot(self.mel, self.rate,
-                               self.normalization)
+        self._slots[i] = _Slot(self.mel, self.rate, self.normalization,
+                               self.endpoint_config, self.blank_id)
         # device state only mutates via _step, which always advances
         # offset for active slots — offset_host == 0 means the slot's
         # device state is still pristine (init zeros + beam0), so a
@@ -361,11 +385,15 @@ class StreamingBatch:
                 if not active[i]:
                     continue
                 sl = self._slots[i]
+                pos0 = int(self._offset_host[i]) - self.chunk
                 out = []
-                for t in toks[i, : valid[i]].tolist():
+                frame_toks = toks[i, : valid[i]].tolist()
+                for j, t in enumerate(frame_toks):
                     if t != sl.prev_tok and t != self.blank_id:
                         out.append(int(t))
+                        sl.times.append(pos0 + j)
                     sl.prev_tok = t
+                sl.endpointer.feed(frame_toks)
                 sl.hyp += out
                 emitted.setdefault(i, []).extend(out)
 
@@ -401,17 +429,21 @@ class StreamingBatch:
             # scores) — the B=1 runtime's flush produces nothing here
             # either, so return the (empty) greedy hypothesis
             return list(sl.hyp)
-        nb, nl, ns = self._finalize_beam(
+        nb, nl, ns, nt = self._finalize_beam(
             jax.tree.map(lambda a: a[i], self.state.beam))
         enc_len = jnp.asarray(min(t_total, self.cap), jnp.int32)
         fn = _get_rescorer(self.model, ctc_weight, reverse_weight)
-        best, best_lens, _ = fn(self.params,
-                                self.state.enc_buf[i, : self.cap],
-                                enc_len, nb, nl, ns)
-        toks = [int(t) for t in np.asarray(best[0])[: int(best_lens[0])]]
+        best, best_lens, win = fn(self.params,
+                                  self.state.enc_buf[i, : self.cap],
+                                  enc_len, nb, nl, ns)
+        n = int(best_lens[0])
+        toks = [int(t) for t in np.asarray(best[0])[:n]]
         # make finish() idempotent: result()/a second finish() must
         # return the rescored hypothesis, not the greedy partial
         sl.hyp = list(toks)
+        # the winning prefix's per-token emission frames replace the
+        # greedy-path times (same onset convention, same units)
+        sl.times = [int(t) for t in np.asarray(nt[int(win)])[:n]]
         return toks
 
     def encoder_out(self, handle: StreamHandle) -> np.ndarray:

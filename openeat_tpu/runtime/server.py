@@ -22,16 +22,22 @@ Client → server:
     J {"op": "end"}                          → final hypothesis
 Server → client:
     J {"event": "ready", "slot": i}
-    J {"event": "partial", "tokens": [...], "text": "..."}
+    J {"event": "partial", "tokens": [...], "text": "...",
+       "times_ms": [...]}
     J {"event": "final", "tokens": [...], "text": "...",
-       "audio_s": 1.23}
+       "times_ms": [...], "audio_s": 1.23, "endpoint": false}
     J {"event": "error", "message": "..."}
 
 Partials are CTC greedy (emitted as soon as a chunk step produces
 tokens); the final hypothesis is the streamed prefix-beam +
 forward/reverse attention rescoring finalization, i.e. the streamed
 analog of the reference's flagship `attention_rescoring` mode
-(reference openeat/models/asr_model.py:418-534).
+(reference openeat/models/asr_model.py:418-534). `times_ms` carries
+per-token CTC emission onsets (40 ms granularity; the final's times
+come from the winning prefix-beam hypothesis). With `endpoint=True`
+the server finalizes a stream on its own when the trailing-silence
+rules fire (decode/endpoint.py) — the final event then has
+"endpoint": true and any later audio on the connection is ignored.
 
 Design notes:
 - Device state (BatchState) is only ever touched by the scheduler
@@ -135,12 +141,15 @@ class AsrServer:
                  port=0, slots=8, chunk_size=16, num_left_chunks=4,
                  sample_rate=16000, normalization="none", beam_size=10,
                  max_hyp_len=64, enc_capacity=512, ctc_weight=0.5,
-                 reverse_weight=0.0, final_mode="attention_rescoring"):
+                 reverse_weight=0.0, final_mode="attention_rescoring",
+                 endpoint=False, endpoint_config=None):
         self.batch = StreamingBatch(
             model, params, slots=slots, chunk_size=chunk_size,
             num_left_chunks=num_left_chunks, sample_rate=sample_rate,
             normalization=normalization, beam_size=beam_size,
-            max_hyp_len=max_hyp_len, enc_capacity=enc_capacity)
+            max_hyp_len=max_hyp_len, enc_capacity=enc_capacity,
+            endpoint_config=endpoint_config)
+        self.endpoint = endpoint
         self.id2tok = {v: k for k, v in char_dict.items()}
         self.server_rate = sample_rate
         self.ctc_weight = ctc_weight
@@ -334,14 +343,17 @@ class AsrServer:
         if sess.ended:
             self._finalize(sess)
 
-    def _finalize(self, sess: _Session):
+    def _finalize(self, sess: _Session, *, endpoint: bool = False):
         toks = self.batch.finish(sess.handle, rescore=self.rescore,
                                  ctc_weight=self.ctc_weight,
                                  reverse_weight=self.reverse_weight)
+        times = sess.handle.result_times_ms()
         sess.outbox.put({
             "event": "final", "tokens": [int(t) for t in toks],
             "text": token_ids_to_text(toks, self.id2tok),
-            "audio_s": sess.audio_samples / self.server_rate})
+            "times_ms": times,
+            "audio_s": sess.audio_samples / self.server_rate,
+            "endpoint": endpoint})
         self._release(sess)
 
     def _release(self, sess: _Session):
@@ -369,6 +381,8 @@ class AsrServer:
         session's finish() flush are not lost."""
         self.batch.run_ready()
         self._emit_partials()
+        if self.endpoint:
+            self._check_endpoints()
 
     def _emit_partials(self):
         for sess in list(self._live.values()):
@@ -377,7 +391,19 @@ class AsrServer:
             hyp = sess.handle.result()
             if len(hyp) > sess.sent_n:
                 toks = hyp[sess.sent_n:]
+                times = sess.handle.result_times_ms()[sess.sent_n:]
                 sess.sent_n = len(hyp)
                 sess.outbox.put({
                     "event": "partial", "tokens": [int(t) for t in toks],
-                    "text": token_ids_to_text(toks, self.id2tok)})
+                    "text": token_ids_to_text(toks, self.id2tok),
+                    "times_ms": times})
+
+    def _check_endpoints(self):
+        """Server-side finalization: a session whose greedy path hits
+        the trailing-silence rules gets its final without waiting for
+        the client's "end" (the client is told via "endpoint": true)."""
+        for sess in list(self._live.values()):
+            if (sess.handle is not None and not sess.ended
+                    and sess.handle.endpoint_detected()):
+                sess.ended = True  # later audio frames are ignored
+                self._finalize(sess, endpoint=True)

@@ -153,12 +153,16 @@ def remove_duplicates_and_blank(hyp, blank_id: int = 0) -> list:
 
 
 def ctc_collapse_device(tokens: jax.Array, blank_id: int = 0,
-                        pad_value: int = IGNORE_ID) -> jax.Array:
+                        pad_value: int = IGNORE_ID,
+                        return_positions: bool = False):
     """Vectorized on-device CTC collapse. tokens: [B, T] -> [B, T].
 
     Keeps positions where token != previous token and token != blank,
     compacts survivors to the front, pads the rest with `pad_value`.
-    Device analog of `remove_duplicates_and_blank`.
+    Device analog of `remove_duplicates_and_blank`. With
+    `return_positions`, also returns each kept token's original frame
+    index [B, T] int32 (0 on pad lanes) — the CTC emission onsets that
+    back greedy-path timestamps.
     """
     b, t = tokens.shape
     prev = jnp.concatenate(
@@ -170,7 +174,11 @@ def ctc_collapse_device(tokens: jax.Array, blank_id: int = 0,
     order = jnp.argsort(key, axis=1)
     gathered = jnp.take_along_axis(tokens, order, axis=1)
     kept_sorted = jnp.take_along_axis(keep, order, axis=1)
-    return jnp.where(kept_sorted, gathered, pad_value)
+    out = jnp.where(kept_sorted, gathered, pad_value)
+    if not return_positions:
+        return out
+    pos_sorted = jnp.take_along_axis(pos, order, axis=1)
+    return out, jnp.where(kept_sorted, pos_sorted, 0)
 
 
 def map_structure_to_bf16(tree):

@@ -103,7 +103,7 @@ def test_streamed_beam_equals_offline_dp(small_model):
     lp = model.apply(params, enc, method=ASRModel.ctc_log_probs)
     nb, nl, ns = ctc_prefix_beam_search(lp, jnp.array([t_total]),
                                         beam_size=5, max_hyp_len=24)
-    bnb, bnl, bns = batch._finalize_beam(
+    bnb, bnl, bns, _ = batch._finalize_beam(
         jax.tree.map(lambda a: a[h.slot], batch.state.beam))
     np.testing.assert_array_equal(np.asarray(bnb), np.asarray(nb[0]))
     np.testing.assert_array_equal(np.asarray(bnl), np.asarray(nl[0]))
