@@ -86,6 +86,9 @@ ckpt=$exp_dir/avg_best${average_num}
 
 echo "=== offline decode (greedy + rescoring) ==="
 for mode in ctc_greedy_search attention_rescoring; do
+  # resumable: a completed mode (cer file exists) is not re-decoded
+  [ -s "$exp_dir/cer_offline_${mode}.txt" ] && {
+    tail -1 "$exp_dir/cer_offline_${mode}.txt"; continue; }
   python -m openeat_tpu.bin.recognize \
     --config "$exp_dir/train.yaml" \
     --checkpoint "$ckpt" \

@@ -146,6 +146,11 @@ def main(argv=None):
         now, fp32 = quantized_bytes(params)
         logger.info("int8 weight quantization: %.1f MB (%.2fx vs fp32)",
                     now / 1e6, fp32 / max(now, 1))
+    # commit weights to the device once (after quantization, so int8 is
+    # what crosses the wire): orbax restores host numpy leaves, and jit
+    # re-uploads numpy args on EVERY dispatch — wasted h2d per batch,
+    # and the axon client retains each transfer (docs/AXON_NOTES.md)
+    params = jax.device_put(params)
     id2tok = {v: k for k, v in char_dict.items()}
     bpe = load_bpe(args.bpe_model)
     collate_conf = dict(cfg.get("collate_conf", {}) or {})

@@ -252,7 +252,13 @@ class StreamingRecognizer:
             "streaming runtime currently supports conv2d subsampling"
         assert model.causal, "streaming needs a causal conv module"
         self.model = model
-        self.params = params
+        # commit the weights to the device ONCE: checkpoint loading
+        # yields host numpy leaves, and jit re-uploads numpy arguments
+        # on EVERY call — per chunk step that is the whole parameter
+        # set over the wire (~100 ms/step on the tunnel, and the axon
+        # client retains each transfer: a 2k-utterance streamed drive
+        # leaked 130 GB host RSS and was OOM-killed; docs/AXON_NOTES.md)
+        self.params = jax.device_put(params)
         self.chunk = chunk_size
         # static shapes force a finite attention history; -1 ("full
         # left" in training masks) cannot mean unlimited here — demand

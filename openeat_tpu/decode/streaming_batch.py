@@ -251,7 +251,11 @@ class StreamingBatch:
             "StreamingRecognizer)")
         assert normalization in ("none", "running"), normalization
         self.model = model
-        self.params = params
+        # commit weights to the device once — numpy params would be
+        # re-uploaded by jit on every chunk step / rescoring call (see
+        # StreamingRecognizer.__init__; the leak-amplified version of
+        # this OOM-killed a 2k-utterance streamed drive at 130 GB RSS)
+        self.params = jax.device_put(params)
         self.S = slots
         self.chunk = chunk_size
         self.left = num_left_chunks * chunk_size

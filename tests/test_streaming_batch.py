@@ -64,6 +64,14 @@ def test_batch_matches_sequential(small_model):
     batch = StreamingBatch(model, params, slots=4, chunk_size=CHUNK,
                            num_left_chunks=LEFT, num_mel_bins=F,
                            beam_size=5, max_hyp_len=24, enc_capacity=64)
+    # weights must be committed device arrays: numpy leaves are
+    # re-uploaded by jit on EVERY chunk step (the axon client retains
+    # each transfer — a 2k-utt streamed drive OOMed at 130 GB RSS)
+    host_params = jax.tree.map(np.asarray, params)
+    b2 = StreamingBatch(model, host_params, slots=1, chunk_size=CHUNK,
+                        num_left_chunks=LEFT, num_mel_bins=F)
+    assert all(isinstance(leaf, jax.Array)
+               for leaf in jax.tree.leaves(b2.params))
     handles = [batch.open() for _ in range(4)]
     # interleave: feed uneven pieces round-robin, stepping as we go
     cuts = [np.split(w, [1500, 5000, 9100]) for w in wavs]
