@@ -21,6 +21,13 @@ export JAX_COMPILATION_CACHE_DIR=/tmp/jax_compile_cache
 exp_dir=$work/exp
 max_epoch=${MAX_EPOCH:-60}   # env-overridable: short windows train fewer epochs
 average_num=${AVG_NUM:-3}
+# MoE needs the GENTLER ramp: at the dense run's warmup 2 the routed
+# flagship never aligns (measured: cv_loss pinned at ~30 / cv_acc ~0.18
+# through epoch 10 — the same warmup-2 creep the lmhard and causal
+# flagships showed, while dense-hard reached cv_acc 0.53 by epoch 4).
+# Router noise early in training effectively hardens the corpus, so the
+# lmhard/streaming remedy applies: warmup 8 at the same 5e-4 peak.
+warmup_epoch=${WARMUP_EPOCH:-8}
 
 [ -f "$corpus/data/train/format.data" ] || {
   echo "hard corpus not found at $corpus (run run_recipe_tpu.sh hard)"
@@ -34,13 +41,15 @@ if [ ! -d "$exp_dir/epoch_$max_epoch" ]; then
   echo "=== train MoE flagship ($max_epoch epochs) ==="
   python - <<PY
 # dense hard-profile config + the MoE fields from
-# examples/aishell/conf/train_conformer_moe.yaml (same schedule as the
-# dense run so the CER comparison isolates the FFN swap)
+# examples/aishell/conf/train_conformer_moe.yaml; same peak lr/epochs as
+# the dense run, but warmup 8 (see warmup_epoch note above) — the only
+# schedule deviation from the dense comparison point
 import yaml
 cfg = yaml.safe_load(open("$corpus/conf_synth.yaml"))
 cfg["model_conf"].update(moe_experts=4, moe_top_k=2,
                          moe_capacity_factor=1.25, moe_aux_weight=0.01)
 cfg["max_epoch"] = $max_epoch
+cfg["warmup_epoch"] = $warmup_epoch
 yaml.safe_dump(cfg, open("$work/conf_moe.yaml", "w"), sort_keys=False)
 PY
   resume=()
