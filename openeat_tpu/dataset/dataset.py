@@ -97,6 +97,14 @@ class AudioCollate:
         if use_native_io:
             from openeat_tpu.runtime import native_io
             self.native_io = native_io if native_io.available() else None
+            if self.native_io is None:
+                # the pure-python fallback is correct but slow (measured
+                # 2.5x recipe epoch wall when the cv set is FLAC) — make
+                # the silent degradation visible once per process
+                import logging
+                logging.getLogger(__name__).warning(
+                    "native IO library not found (run `make -C native`); "
+                    "falling back to pure-python WAV/FLAC decoding")
         else:
             self.native_io = None
 

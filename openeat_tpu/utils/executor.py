@@ -72,14 +72,18 @@ class Executor:
                     "gnorm %.2f", epoch, i + 1, loss,
                     float(metrics.get("acc", 0.0)), lr,
                     float(metrics.get("grad_norm", 0.0)))
-                self._emit({"kind": "train", "epoch": epoch,
-                            "batch": i + 1, "step": int(state.step),
-                            "loss": loss,
-                            "acc": float(metrics.get("acc", 0.0)),
-                            "lr": lr,
-                            "grad_norm": float(metrics.get("grad_norm",
-                                                           0.0)),
-                            "time": time.time()})
+                rec = {"kind": "train", "epoch": epoch,
+                       "batch": i + 1, "step": int(state.step),
+                       "loss": loss,
+                       "acc": float(metrics.get("acc", 0.0)),
+                       "lr": lr,
+                       "grad_norm": float(metrics.get("grad_norm", 0.0)),
+                       "time": time.time()}
+                if "moe_aux" in metrics:
+                    # router health: ~1.0 = balanced load (Switch aux is
+                    # E * sum_e f_e * P_e, minimized at uniform routing)
+                    rec["moe_aux"] = float(metrics["moe_aux"])
+                self._emit(rec)
             n_batches += 1
             fl = batch.get("features_length")
             if fl is not None:
