@@ -97,12 +97,17 @@ def main():
                      ("attention_rescoring", run_rescoring)]:
         r = fn()
         jax.block_until_ready(r)
+        # best of 3 windows of 5: tunnel interference swings small runs
+        # up to ~2x (CLAUDE.md perf anchors), min-of-windows is the
+        # stable statistic
         n = 5
-        t0 = time.perf_counter()
-        for _ in range(n):
-            r = fn()
-        jax.block_until_ready(r)
-        dt = (time.perf_counter() - t0) / n
+        dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                r = fn()
+            jax.block_until_ready(r)
+            dt = min(dt, (time.perf_counter() - t0) / n)
         rtf = dt / audio_sec
         print(json.dumps({"metric": f"decode_rtf_{name}{suffix}",
                           "value": round(rtf, 5), "unit": "RTF",
@@ -142,25 +147,29 @@ def streaming_throughput(suffix=""):
                                chunk_size=16, num_left_chunks=4,
                                beam_size=10, max_hyp_len=64,
                                enc_capacity=256)
-        handles = [batch.open() for _ in range(s_count)]
-        for h in handles:   # warmup/compile: feed 1 chunk worth
-            batch.accept(h, wav[:16000])
-        batch.run_ready()
-        # credit exactly the audio decoded inside the timed window:
-        # warmup consumed offset*4 frames (10 ms each) per stream, not
-        # a round 1.0 s
-        warm = [4 * int(batch.state.offset[h.slot]) * 0.01
-                for h in handles]
+
+        def drive():
+            """One full lifecycle: open S streams, feed the whole 10 s
+            utterance, lockstep-decode, flush + prefix-beam finalize,
+            close (slots are reusable). Returns audio-sec decoded."""
+            handles = [batch.open() for _ in range(s_count)]
+            for h in handles:
+                batch.accept(h, wav)
+            batch.run_ready()
+            decoded = 0.0
+            for h in handles:
+                batch.finish(h, rescore=False)
+                # host mirror, not batch.state.offset: a per-slot device
+                # scalar fetch is a full tunnel round trip inside the
+                # timed window
+                decoded += 4 * int(batch._offset_host[h.slot]) * 0.01
+                batch.close(h)
+            return decoded
+
+        drive()  # warmup: compiles the chunk step AND the finalize path
         t0 = time.perf_counter()
-        for h in handles:
-            batch.accept(h, wav[16000:])
-        batch.run_ready()
-        for h in handles:
-            batch.finish(h, rescore=False)
+        total_audio = drive()
         dt = time.perf_counter() - t0
-        total_audio = sum(
-            4 * int(batch.state.offset[h.slot]) * 0.01 - w
-            for h, w in zip(handles, warm))
         # vs_baseline: against the 0.05-RTF/stream budget (= 20
         # audio-sec/sec per concurrent stream)
         print(json.dumps({

@@ -44,12 +44,24 @@ def _get_fbank_group_fn(rate: int, mel: int, group_samples: int):
     key = (rate, mel, group_samples)
     fn = _FBANK_CACHE.get(key)
     if fn is None:
+        # Pin to the HOST CPU backend: this is the host half of the
+        # pipeline, but an unpinned jit follows the default platform —
+        # on the remote-tunnel box every 16-frame group became a full
+        # TPU round trip (measured 1.5 s per 10 s of audio in
+        # benchmarks/streaming_profile.py, the dominant streaming cost)
+        # AND contended with the chunk steps on the chip.
+        cpu = jax.local_devices(backend="cpu")[0]
+
         @jax.jit
-        def fn(seg):
+        def jfn(seg):
             feats, _ = fbank_mod.fbank(
                 seg[None], jnp.array([group_samples]),
                 sample_rate=rate, num_mel_bins=mel)
             return feats[0]
+
+        def fn(seg):
+            # committed-CPU input makes the jit compile/run on CPU
+            return jfn(jax.device_put(np.asarray(seg, np.float32), cpu))
 
         _FBANK_CACHE[key] = fn
     return fn
@@ -129,7 +141,7 @@ class HostFrontend:
         while n_avail - self.n_frames_done >= self.FRAME_GROUP:
             s0 = self.n_frames_done * self.frame_shift - self._samples_base
             seg = self.samples[s0: s0 + self.group_samples]
-            feats = np.asarray(self._fbank_group(jnp.asarray(seg)),
+            feats = np.asarray(self._fbank_group(seg),
                                np.float32)
             self._ingest(feats)
             self.n_frames_done += self.FRAME_GROUP
@@ -147,7 +159,7 @@ class HostFrontend:
             seg = np.concatenate(
                 [seg, np.zeros((self.group_samples - len(seg),),
                                np.float32)])
-        feats = np.asarray(self._fbank_group(jnp.asarray(seg)),
+        feats = np.asarray(self._fbank_group(seg),
                            np.float32)[: nf - self.n_frames_done]
         self._ingest(feats)
         self.n_frames_done = nf

@@ -159,6 +159,15 @@ def _reset_slot(state: BatchState, i, beam0) -> BatchState:
     )
 
 
+# One module-level jit wrapper (NOT per StreamingBatch instance): the
+# end-of-stream prefix-beam program is slot-count-independent, so all
+# instances must share one compile cache — a per-instance jax.jit put a
+# fresh multi-second finalize compile inside every instance's first
+# finish(), which is exactly the window benchmarks time.
+_FINALIZE_BEAM = jax.jit(
+    functools.partial(prefix_beam_finalize, with_times=True))
+
+
 def _get_rescorer(model, ctc_weight, reverse_weight):
     key = (model, ctc_weight, reverse_weight)
     fn = _RESCORE_CACHE.get(key)
@@ -267,10 +276,13 @@ class StreamingBatch:
         self.max_hyp_len = max_hyp_len
         self.cap = enc_capacity
         self.win_frames = 4 * chunk_size + 3
+        # backlog catch-up pipeline depth inside one run_ready call (see
+        # run_ready docstring); 4 hides one ~24 ms tunnel RTT behind
+        # ~4 ms chunk steps with bounded partial-emission lag
+        self.PIPELINE_DEPTH = 4
         self._step = _get_step(model, chunk_size, self.left, self.cap,
                                blank_id)
-        self._finalize_beam = jax.jit(
-            functools.partial(prefix_beam_finalize, with_times=True))
+        self._finalize_beam = _FINALIZE_BEAM
 
         n_apps = model.encoder_num_blocks
         h = model.attention_heads
@@ -354,9 +366,41 @@ class StreamingBatch:
         """Advance every slot with a full feature window by one chunk
         (repeatedly, until none is ready); `force` maps slot -> valid
         chunk length for final flush chunks that are allowed to run
-        short. Returns {slot: newly emitted greedy tokens}."""
+        short. Returns {slot: newly emitted greedy tokens}.
+
+        The loop is software-pipelined: greedy token read-back of step k
+        (a blocking d2h sync, one tunnel RTT) is deferred behind up to
+        PIPELINE_DEPTH later steps, with copy_to_host_async issued at
+        dispatch so the bytes are already client-side when drained
+        (measured 70 -> ~5 ms per lockstep iteration over the tunnel;
+        the chunk step itself is ~4 ms, benchmarks/streaming_profile.py).
+        Host scheduling never needs the tokens — _ready()/finish() read
+        _offset_host — and ALL pending steps are drained before
+        returning, so callers still observe every emission for the audio
+        they fed; only backlog catch-up inside one call is pipelined."""
         emitted: dict[int, list[int]] = {}
         force = dict(force or {})
+        # each entry: (active, valid, pos0 per slot, toks device arr)
+        pending: list = []
+
+        def drain(p):
+            p_active, p_valid, p_pos0, p_toks = p
+            toks = np.asarray(p_toks)
+            for i in range(self.S):
+                if not p_active[i]:
+                    continue
+                sl = self._slots[i]
+                out = []
+                frame_toks = toks[i, : p_valid[i]].tolist()
+                for j, t in enumerate(frame_toks):
+                    if t != sl.prev_tok and t != self.blank_id:
+                        out.append(int(t))
+                        sl.times.append(int(p_pos0[i]) + j)
+                    sl.prev_tok = t
+                sl.endpointer.feed(frame_toks)
+                sl.hyp += out
+                emitted.setdefault(i, []).extend(out)
+
         while True:
             valid = np.zeros((self.S,), np.int32)
             active = np.zeros((self.S,), bool)
@@ -379,27 +423,24 @@ class StreamingBatch:
                 valid[i] = self.chunk if run_full else forced
                 active[i] = True
             if not active.any():
+                for p in pending:
+                    drain(p)
                 return emitted
+            pos0 = self._offset_host.copy()
             self.state, toks = self._step(
                 self.params, self.state, jnp.asarray(windows),
                 jnp.asarray(valid), jnp.asarray(active))
             self._offset_host[active] += self.chunk
-            toks = np.asarray(toks)
-            for i in range(self.S):
-                if not active[i]:
-                    continue
-                sl = self._slots[i]
-                pos0 = int(self._offset_host[i]) - self.chunk
-                out = []
-                frame_toks = toks[i, : valid[i]].tolist()
-                for j, t in enumerate(frame_toks):
-                    if t != sl.prev_tok and t != self.blank_id:
-                        out.append(int(t))
-                        sl.times.append(pos0 + j)
-                    sl.prev_tok = t
-                sl.endpointer.feed(frame_toks)
-                sl.hyp += out
-                emitted.setdefault(i, []).extend(out)
+            try:
+                # start streaming the tokens to the host now; without
+                # this the later np.asarray ISSUES the transfer request
+                # and pays a full round trip per step
+                toks.copy_to_host_async()
+            except AttributeError:
+                pass
+            pending.append((active, valid, pos0, toks))
+            if len(pending) > self.PIPELINE_DEPTH:
+                drain(pending.pop(0))
 
     # ---- end of stream ----
 
