@@ -112,14 +112,20 @@ def main():
         # only the harness itself is being checked, not the kernels)
         print("PALLAS_CHECK SKIP (no TPU backend)")
         return 0
-    # batched variant: small B*T*S fits the VMEM budget
+    # batched variant, single tile: small B*T*S fits the VMEM budget
     check_ctc_variant("small", b=8, t=128, v=64, l_max=20,
                       want_kernel="batched")
-    # per-utt grid variant: long T + long labels overflow the budget
+    # batched variant, MULTI-tile: flagship training shape (B=256 spans
+    # 8 grid cells of tile_b=32 at t=100) — the shape class the r2 rule
+    # sent to the slow grid kernel
+    check_ctc_variant("train", b=256, t=100, v=64, l_max=24,
+                      want_kernel="batched")
+    # per-utt grid variant: long T + long labels overflow even an
+    # 8-row tile
     check_ctc_variant("large", b=8, t=1024, v=128, l_max=120,
                       want_kernel="grid")
     check_fused_attention()
-    ok = all(RESULTS) and len(RESULTS) == 3
+    ok = all(RESULTS) and len(RESULTS) == 4
     print(f"PALLAS_CHECK {'PASS' if ok else 'FAIL'}")
     return 0 if ok else 1
 

@@ -106,23 +106,55 @@ def test_grad_is_valid_probability_flow(rng):
 
 
 def test_pallas_dispatch_selection():
-    """Shape-based kernel selection: batched when VMEM fits, grid for
-    moderate batches, scan fallback (None) for giant grids."""
-    import jax.numpy as jnp
-    b_small = jnp.zeros((8, 20, 9))      # tiny -> batched fits
-    assert 4 * 20 * 8 * 128 * 4 <= mod._BATCHED_VMEM_BUDGET
+    """Shape-based kernel selection: B-tiled batched kernel whenever an
+    8-row tile's DP buffers fit VMEM (any batch size — the grid tiles
+    over B), per-utterance grid kernel for very long T, scan fallback
+    (None) only for long-T AND giant-batch problems."""
+    # tiny -> batched, with the largest tile that fits
+    assert mod.dispatch_variant(8, 20, 9) == "batched"
+    assert mod._select_tile_b(20, 128) == mod._BATCHED_MAX_TILE
+    # big-batch training shape (B=256 x T'=78 x S=49) -> batched too
+    # (the r2 rule sent this to the slow grid variant; measured 21.9 ms
+    # vs 6.0 ms optax forward)
+    assert mod.dispatch_variant(256, 78, 49) == "batched"
+    assert mod._select_tile_b(78, 128) == 64
+    # T too long for even an 8-row tile -> grid for moderate batches
     big_t = mod._BATCHED_VMEM_BUDGET // (4 * 8 * 128 * 4) + 8
-    # moderate batch, too big for VMEM -> grid kernel allowed
-    assert 64 <= mod._GRID_KERNEL_MAX_BATCH
-    # giant batch -> scan fallback
-    label_logp = jnp.full((mod._GRID_KERNEL_MAX_BATCH + 8, big_t, 128),
-                          mod.NEG_INF)
-    il = jnp.ones((label_logp.shape[0],), jnp.int32)
-    sl = jnp.ones((label_logp.shape[0],), jnp.int32)
-    a2 = jnp.zeros((label_logp.shape[0], 128), bool)
-    # on CPU the dispatch path isn't taken; call it directly with
-    # interpret=False only to check the None branch decision
-    b, t, s = label_logp.shape
-    fits = 4 * t * mod._round_up(b, 8) * mod._round_up(s, 128) * 4 \
-        <= mod._BATCHED_VMEM_BUDGET
-    assert not fits and b > mod._GRID_KERNEL_MAX_BATCH
+    assert mod._select_tile_b(big_t, 128) is None
+    assert mod.dispatch_variant(64, big_t, 128) == "grid"
+    # ... and scan fallback for giant batches at that length
+    assert mod.dispatch_variant(mod._GRID_KERNEL_MAX_BATCH + 8, big_t,
+                                128) is None
+
+
+def test_pallas_batched_tiled_matches_scan(rng, monkeypatch):
+    """The B-tiled batched kernel (several grid cells, padded final
+    tile) must match the scan oracle. A shrunken VMEM budget forces
+    tile_b=8 so b=20 spans 3 cells with 4 padded rows."""
+    monkeypatch.setattr(mod, "_BATCHED_VMEM_BUDGET", 4 * 12 * 8 * 128 * 4)
+    b, t, v, l = 20, 12, 5, 3
+    logits = rng.standard_normal((b, t, v)).astype(np.float32)
+    log_probs = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
+    labels = rng.integers(1, v, (b, l)).astype(np.int32)
+    il = rng.integers(t // 2, t + 1, (b,)).astype(np.int32)
+    ll = rng.integers(1, l + 1, (b,)).astype(np.int32)
+    z, s_lens = mod.extended_labels(jnp.asarray(labels), jnp.asarray(ll))
+    allow2 = mod._transition_masks(z)
+    label_logp = jnp.take_along_axis(
+        log_probs, z[:, None, :].repeat(log_probs.shape[1], axis=1),
+        axis=2)
+    assert mod._select_tile_b(12, 128) == 8
+    loss_scan, alphas = mod.ctc_forward_scan(
+        label_logp, jnp.asarray(il), s_lens, allow2)
+    betas = mod.ctc_backward_scan(label_logp, jnp.asarray(il), s_lens,
+                                  allow2)
+    gamma_scan = np.asarray(alphas + betas + loss_scan[:, None, None])
+    loss_pl, gamma_pl = mod._ctc_pallas_batched(
+        label_logp, jnp.asarray(il), s_lens, allow2, interpret=True)
+    np.testing.assert_allclose(np.asarray(loss_pl), np.asarray(loss_scan),
+                               rtol=1e-5)
+    for b in range(20):
+        g_s = gamma_scan[b, : il[b]]
+        g_p = np.asarray(gamma_pl)[b, : il[b]]
+        m = g_s > -1e29
+        np.testing.assert_allclose(g_p[m], g_s[m], rtol=1e-4, atol=1e-4)
