@@ -41,7 +41,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np
 
-B, T = 256, 312  # ~80000 frames per step: 256 utts x ~3.1 s each
+# ~80000 frames per step: 256 utts x ~3.1 s each. Env overrides let
+# batch-scaling experiments reuse this file without editing the default.
+B = int(os.environ.get("OPENEAT_BENCH_B", "256"))
+T = int(os.environ.get("OPENEAT_BENCH_T", "312"))
 
 
 def build_step(abstract: bool = False):
