@@ -123,23 +123,34 @@ def main():
         state, metrics = e2e_step(state, *args, k)
     jax.block_until_ready(metrics["loss"])
 
-    # best of 5 windows — the remote-tunnel chip shows ±10% interference
-    # (observed cold-run spread across driver rounds: 84k-121k; more
-    # windows keeps the reported figure near the top of the band)
-    n_steps, best_dt = 10, float("inf")
-    for _ in range(5):
-        t0 = time.perf_counter()
-        for _ in range(n_steps):
-            rng, k = jax.random.split(rng)
-            state, metrics = e2e_step(state, *args, k)
-        # fetch the VALUE, not just readiness: a real device->host
-        # scalar transfer cannot complete before every chained step has
-        # executed, so the window is honest even if a remote runtime's
-        # block_until_ready resolves early (axon is an IFRT proxy)
-        float(np.asarray(metrics["loss"]))
-        best_dt = min(best_dt, time.perf_counter() - t0)
+    # K-differenced honest windows. Each window chains K donated steps
+    # (step i+1 consumes step i's state, so nothing can be elided) and
+    # ends with ONE real device->host scalar VALUE fetch — a transfer
+    # cannot complete before every chained step has executed, so the
+    # window is honest even though the axon IFRT proxy acks readiness
+    # before remote execution finishes (block_until_ready-only timing
+    # over-reported ~6x, see benchmarks/step_time_diag.py). The fetch
+    # itself costs ~1 tunnel RTT; differencing two window sizes cancels
+    # that fixed overhead: per_step = (t(K2)-t(K1))/(K2-K1). Best-of-3
+    # per window size rides out tunnel interference (±10%).
+    def window(k):
+        nonlocal state, rng
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(k):
+                rng, kk = jax.random.split(rng)
+                state, metrics = e2e_step(state, *args, kk)
+            float(np.asarray(metrics["loss"]))
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    steps_per_sec = n_steps / best_dt
+    k1, k2 = 5, 25
+    t1, t2 = window(k1), window(k2)
+    per_step = (t2 - t1) / (k2 - k1)
+    if per_step <= 0:  # pathological interference draw: fall back to
+        per_step = t2 / k2  # the conservative undifferenced figure
+    steps_per_sec = 1.0 / per_step
     n_samples = T * 160 + 240
     value = steps_per_sec * (B * n_samples / 16000.0)
 
@@ -180,6 +191,8 @@ def main():
         "mfu": mfu,
         "flops_per_step": flops_per_step,
         "flops_source": flops_src,
+        "per_step_ms": round(per_step * 1e3, 2),
+        "fetch_overhead_ms": round(max(t1 - k1 * per_step, 0.0) * 1e3, 1),
         "device_kind": kind,
     }))
 

@@ -63,16 +63,20 @@ def build_and_time(fused: bool, b=256, t=312):
     for _ in range(3):
         rng, k = jax.random.split(rng)
         state, m = e2e_step(state, wav, wav_lens, tgt, tlen, k)
-    jax.block_until_ready(m["loss"])
-    n_steps, best = 10, float("inf")
-    for _ in range(5):
-        t0 = time.perf_counter()
-        for _ in range(n_steps):
-            rng, k = jax.random.split(rng)
-            state, m = e2e_step(state, wav, wav_lens, tgt, tlen, k)
-        jax.block_until_ready(m["loss"])
-        best = min(best, time.perf_counter() - t0)
-    return best / n_steps * 1000.0  # ms/step
+    from _honest import fetch_scalar, time_per_call
+    fetch_scalar(m["loss"])
+
+    # steps chain through the donated `state`; the window's closing
+    # VALUE fetch + K-differencing make this honest on the axon proxy
+    # (block_until_ready acks before remote execution — _honest.py)
+    def one_step(_):
+        nonlocal state, rng
+        rng, k = jax.random.split(rng)
+        state, m = e2e_step(state, wav, wav_lens, tgt, tlen, k)
+        return m["loss"]
+
+    per_step, _, _, _ = time_per_call(one_step, k1=5, k2=20, reps=3)
+    return per_step * 1000.0  # ms/step
 
 
 def main():

@@ -90,25 +90,25 @@ def main():
                                    nscores, ctc_weight=0.5,
                                    reverse_weight=0.3)[0]
 
+    from _honest import fetch_scalar, time_per_call
     for name, fn in [("ctc_greedy_search", run_greedy),
                      ("ctc_prefix_beam_search", run_prefix),
                      ("attention", run_attention),
                      ("attention_adaptive", run_attention_adaptive),
                      ("attention_rescoring", run_rescoring)]:
-        r = fn()
-        jax.block_until_ready(r)
-        # best of 3 windows of 5: tunnel interference swings small runs
-        # up to ~2x (CLAUDE.md perf anchors), min-of-windows is the
-        # stable statistic
-        n = 5
-        dt = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(n):
-                r = fn()
-            jax.block_until_ready(r)
-            dt = min(dt, (time.perf_counter() - t0) / n)
+        fetch_scalar(fn())  # compile + settle
+        # K-differenced windows ending in a VALUE fetch (_honest.py):
+        # block_until_ready on the axon proxy acks before execution, and
+        # the bare fetch costs ~1 tunnel RTT — differencing removes it.
+        # Real decode reads hypotheses to host anyway, so the production
+        # RTF additionally pays that RTT once per batch (reported
+        # separately as decode_readback_ms).
+        dt, overhead, _, _ = time_per_call(lambda _prev: fn(),
+                                           k1=2, k2=8, reps=3)
         rtf = dt / audio_sec
+        if name == "ctc_greedy_search":
+            print(json.dumps({"metric": f"decode_readback_ms{suffix}",
+                              "value": round(overhead * 1e3, 1)}))
         print(json.dumps({"metric": f"decode_rtf_{name}{suffix}",
                           "value": round(rtf, 5), "unit": "RTF",
                           "vs_baseline": round(0.05 / max(rtf, 1e-9), 2)}))

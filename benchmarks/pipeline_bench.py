@@ -68,7 +68,9 @@ def run(tag, wav_dtype, prefetch):
         audio += sum(dur[k_] for k_ in keys)
         n += 1
         if n >= 120: break
-    jax.block_until_ready(m["loss"])
+    # VALUE fetch, not block_until_ready: the axon proxy acks readiness
+    # before remote execution finishes (benchmarks/_honest.py)
+    float(np.asarray(m["loss"]))
     dt = time.perf_counter() - t0
     print(f"{tag}: {n} steps in {dt:.1f}s -> {n/dt:.2f} steps/s, "
           f"{audio/dt:.0f} audio-sec/s", flush=True)
