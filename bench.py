@@ -6,9 +6,9 @@ during training (forward + backward + Adam update, bf16 compute).
 Batch sizing: the reference recipe's max_frames_in_batch=10000 is a GPU
 memory limit; v5e HBM fits 80000 frames/step
 (examples/aishell/conf/train_conformer_tpu.yaml).
-Measured scaling: 12k (10k frames) -> 47k (40k) -> 96k (80k)
-audio-sec/sec/chip; small batches are dispatch-latency-bound on the
-remote-tunnel chip.
+Small batches are dispatch-latency-bound on the remote-tunnel chip;
+80k frames/step keeps the MXU fed. (Pre-r3 scaling figures measured
+with block_until_ready-only timing were ~6x inflated and are void.)
 
 The output line also carries `mfu`: model FLOPs utilization computed
 from the COMPILED program's own cost analysis (XLA flop count per step
@@ -115,13 +115,16 @@ def compiled_flops(e2e_step, state, args, rng,
 
 def main():
     e2e_step, state, args = build_step()
-    rng = jax.random.PRNGKey(0)
+    from openeat_tpu.utils.common import train_prng
+    rng = train_prng(0)
 
     # warmup / compile
     for _ in range(3):
         rng, k = jax.random.split(rng)
         state, metrics = e2e_step(state, *args, k)
-    jax.block_until_ready(metrics["loss"])
+    # VALUE fetch: block_until_ready acks before remote execution on
+    # the axon proxy, so warmup could bleed into the first window
+    float(np.asarray(metrics["loss"]))
 
     # K-differenced honest windows. Each window chains K donated steps
     # (step i+1 consumes step i's state, so nothing can be elided) and
@@ -135,21 +138,24 @@ def main():
     # per window size rides out tunnel interference (±10%).
     def window(k):
         nonlocal state, rng
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(k):
-                rng, kk = jax.random.split(rng)
-                state, metrics = e2e_step(state, *args, kk)
-            float(np.asarray(metrics["loss"]))
-            best = min(best, time.perf_counter() - t0)
-        return best
+        t0 = time.perf_counter()
+        for _ in range(k):
+            rng, kk = jax.random.split(rng)
+            state, metrics = e2e_step(state, *args, kk)
+        float(np.asarray(metrics["loss"]))
+        return time.perf_counter() - t0
 
+    # PAIRED windows: each rep times k1 then k2 back-to-back and the
+    # slope is the min over reps of the paired difference, so tunnel
+    # interference hits both windows of a pair alike (ADVICE r3 med #1)
     k1, k2 = 5, 25
-    t1, t2 = window(k1), window(k2)
-    per_step = (t2 - t1) / (k2 - k1)
-    if per_step <= 0:  # pathological interference draw: fall back to
-        per_step = t2 / k2  # the conservative undifferenced figure
+    pairs = [(window(k1), window(k2)) for _ in range(3)]
+    t1 = min(a for a, _ in pairs)
+    t2 = min(b for _, b in pairs)
+    diffs = [(b - a) / (k2 - k1) for a, b in pairs if b > a]
+    # pathological interference draw: fall back to the conservative
+    # undifferenced figure
+    per_step = min(diffs) if diffs else t2 / k2
     steps_per_sec = 1.0 / per_step
     n_samples = T * 160 + 240
     value = steps_per_sec * (B * n_samples / 16000.0)

@@ -75,7 +75,7 @@ def build_and_time(fused: bool, b=256, t=312):
         state, m = e2e_step(state, wav, wav_lens, tgt, tlen, k)
         return m["loss"]
 
-    per_step, _, _, _ = time_per_call(one_step, k1=5, k2=20, reps=3)
+    per_step, _, _, _, _ = time_per_call(one_step, k1=5, k2=20, reps=3)
     return per_step * 1000.0  # ms/step
 
 

@@ -52,37 +52,47 @@ def main():
     ctc_logp = jax.jit(lambda p, e: model.apply(
         p, e, method=ASRModel.ctc_log_probs))
 
-    def run_greedy():
-        enc, lens = encode(params, batch["features"],
+    def _eps(prev):
+        """Zero-scaled scalar of the previous call's output: chains a
+        real data dependency through the window so the closing fetch
+        transitively syncs every call, without relying on the proxy's
+        dispatch-order execution (ADVICE r3 low #2)."""
+        if prev is None:
+            return jnp.float32(0)
+        leaf = jax.tree.leaves(prev)[0]
+        return leaf.reshape(-1)[0].astype(jnp.float32) * 0
+
+    def run_greedy(prev=None):
+        enc, lens = encode(params, batch["features"] + _eps(prev),
                            batch["features_length"])
         return ctc_greedy_search(ctc_logp(params, enc), lens)[0]
 
-    def run_prefix():
-        enc, lens = encode(params, batch["features"],
+    def run_prefix(prev=None):
+        enc, lens = encode(params, batch["features"] + _eps(prev),
                            batch["features_length"])
         return ctc_prefix_beam_search(ctc_logp(params, enc), lens,
                                       beam_size=10, max_hyp_len=64)[0]
 
-    def run_attention():
-        enc, lens = encode(params, batch["features"],
+    def run_attention(prev=None):
+        enc, lens = encode(params, batch["features"] + _eps(prev),
                            batch["features_length"])
         return attention_decode(model, params, enc, lens, beam_size=10,
                                 max_steps=64)[0]
 
-    def run_attention_adaptive():
+    def run_attention_adaptive(prev=None):
         # CTC-greedy lengths bound the beam's step budget (bucketed);
         # ~24-token hypotheses (the flagship corpus statistic) yield a
         # 40-step program vs the flat 64-step cap
         from openeat_tpu.decode.attention_beam import adaptive_max_steps
-        enc, lens = encode(params, batch["features"],
+        enc, lens = encode(params, batch["features"] + _eps(prev),
                            batch["features_length"])
         glens = np.full((b,), 24)
         return attention_decode(model, params, enc, lens, beam_size=10,
                                 max_steps=adaptive_max_steps(glens,
                                                              cap=64))[0]
 
-    def run_rescoring():
-        enc, lens = encode(params, batch["features"],
+    def run_rescoring(prev=None):
+        enc, lens = encode(params, batch["features"] + _eps(prev),
                            batch["features_length"])
         nbest, nlens, nscores = ctc_prefix_beam_search(
             ctc_logp(params, enc), lens, beam_size=10, max_hyp_len=64)
@@ -90,27 +100,33 @@ def main():
                                    nscores, ctc_weight=0.5,
                                    reverse_weight=0.3)[0]
 
-    from _honest import fetch_scalar, time_per_call
+    from _honest import fetch_scalar, time_per_call, time_window
     for name, fn in [("ctc_greedy_search", run_greedy),
                      ("ctc_prefix_beam_search", run_prefix),
                      ("attention", run_attention),
                      ("attention_adaptive", run_attention_adaptive),
                      ("attention_rescoring", run_rescoring)]:
         fetch_scalar(fn())  # compile + settle
-        # K-differenced windows ending in a VALUE fetch (_honest.py):
-        # block_until_ready on the axon proxy acks before execution, and
-        # the bare fetch costs ~1 tunnel RTT — differencing removes it.
+        # Paired K-differenced windows ending in a VALUE fetch
+        # (_honest.py): block_until_ready on the axon proxy acks before
+        # execution, and the bare fetch costs ~1 tunnel RTT —
+        # differencing removes it. Window sizes are calibrated per mode
+        # so cheap modes (greedy ~ms/call) use windows that dwarf the
+        # RTT while expensive modes stay affordable (ADVICE r3 med #1).
         # Real decode reads hypotheses to host anyway, so the production
         # RTF additionally pays that RTT once per batch (reported
         # separately as decode_readback_ms).
-        dt, overhead, _, _ = time_per_call(lambda _prev: fn(),
-                                           k1=2, k2=8, reps=3)
+        t_est = time_window(fn, k=2, reps=1) / 2  # RTT-inclusive bound
+        k2 = int(min(32, max(8, round(3.0 / max(t_est, 1e-3)))))
+        k1 = max(2, k2 // 4)
+        dt, overhead, _, _, fb = time_per_call(fn, k1=k1, k2=k2, reps=3)
         rtf = dt / audio_sec
-        if name == "ctc_greedy_search":
+        if name == "ctc_greedy_search" and not fb:
             print(json.dumps({"metric": f"decode_readback_ms{suffix}",
                               "value": round(overhead * 1e3, 1)}))
         print(json.dumps({"metric": f"decode_rtf_{name}{suffix}",
                           "value": round(rtf, 5), "unit": "RTF",
+                          "k_window": [k1, k2], "fallback": fb,
                           "vs_baseline": round(0.05 / max(rtf, 1e-9), 2)}))
 
     streaming_throughput(suffix)
@@ -142,7 +158,7 @@ def streaming_throughput(suffix=""):
     dur_s = 10.0
     wav = (rng.standard_normal(int(dur_s * 16000)) * 3000
            ).astype(np.float32)
-    for s_count in (1, 8, 16):
+    for s_count in (1, 8, 16, 32, 64):
         batch = StreamingBatch(model, params, slots=s_count,
                                chunk_size=16, num_left_chunks=4,
                                beam_size=10, max_hyp_len=64,
@@ -156,9 +172,11 @@ def streaming_throughput(suffix=""):
             for h in handles:
                 batch.accept(h, wav)
             batch.run_ready()
+            # batched flush+finalize: ONE jitted finalize + ONE readback
+            # for all S streams (finish_many), not S serialized ones
+            batch.finish_many(handles, rescore=False)
             decoded = 0.0
             for h in handles:
-                batch.finish(h, rescore=False)
                 # host mirror, not batch.state.offset: a per-slot device
                 # scalar fetch is a full tunnel round trip inside the
                 # timed window

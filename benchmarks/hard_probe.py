@@ -104,7 +104,7 @@ def main():
         decoder_num_blocks=2, r_decoder_num_blocks=2, reverse_weight=0.3,
         d_model=128, attention_heads=4, linear_units=512,
         input_layer="conv2d", cnn_module_kernel=7, ctc_weight=0.3,
-        dropout_rate=0.1, ctc_impl="native", compute_dtype=jnp.bfloat16)
+        dropout_rate=0.1, ctc_impl="optax", compute_dtype=jnp.bfloat16)
     fcfg = FrontendConfig(num_mel_bins=80, spec_aug=True,
                           spec_aug_num_t=2, spec_aug_max_t=15)
 

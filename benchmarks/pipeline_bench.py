@@ -55,7 +55,10 @@ def run(tag, wav_dtype, prefetch):
     # warm compile on first batch shape
     rng, k = jax.random.split(rng)
     state_w, m = step(state, b0, k)
-    jax.block_until_ready(m["loss"]); state_out = state_w
+    # VALUE fetch for the warmup settle too: block_until_ready acks
+    # before remote execution, so a warmup step could bleed into the
+    # timed window (ADVICE r3 low #3)
+    float(np.asarray(m["loss"])); state_out = state_w
     n = 0
     audio = 0.0
     # audio seconds from the yielded keys' own metadata — robust to any

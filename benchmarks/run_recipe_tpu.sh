@@ -264,3 +264,8 @@ for name, a, b in pairs:
     print(name, r.stdout.strip())
 json.dump(out, open("$exp_dir/results_significance.json", "w"), indent=1)
 PY
+
+if [ "$profile" = lmhard ]; then
+  echo "=== stage 8: executable quality gate (CLAUDE.md band) ==="
+  python "$repo_root/benchmarks/check_quality_gate.py" "$exp_dir"
+fi

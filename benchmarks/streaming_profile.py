@@ -2,7 +2,10 @@
 
 Times each phase of a single-stream 10 s decode (host frontend, window
 assembly, h2d, chunk-step dispatch, d2h token sync, finalize) to find
-where the streaming_throughput gap vs the ~7 ms step compute goes.
+where the streaming_throughput wall time goes. (Phase timings here use
+per-phase block_until_ready, which the axon proxy acks early — treat
+them as lower bounds and ratios, not absolutes; the honest end-to-end
+number is decode_rtf.py's streaming_throughput series.)
 Run on the real chip, nothing else on the TPU.
 """
 

@@ -86,7 +86,7 @@ def main(steps=400, n_train=256, n_test=64):
         decoder_num_blocks=2, r_decoder_num_blocks=2, reverse_weight=0.3,
         d_model=128, attention_heads=4, linear_units=256,
         input_layer="conv2d", cnn_module_kernel=7, ctc_weight=0.3,
-        dropout_rate=0.1, ctc_impl="native",
+        dropout_rate=0.1, ctc_impl="optax",
         compute_dtype=jnp.bfloat16)
     fcfg = FrontendConfig(num_mel_bins=40, spec_aug=True,
                           spec_aug_max_t=20, spec_aug_max_f=5)

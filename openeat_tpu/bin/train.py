@@ -33,7 +33,7 @@ from openeat_tpu.parallel.train_step import (TrainState, build_eval_step,
                                              build_train_step, init_params)
 from openeat_tpu.pipeline import DeviceFeeder
 from openeat_tpu.utils import checkpoint as ckpt_lib
-from openeat_tpu.utils.common import init_logger
+from openeat_tpu.utils.common import init_logger, train_prng
 from openeat_tpu.utils.executor import Executor
 from openeat_tpu.utils.optim import build_optimizer
 
@@ -264,7 +264,7 @@ def main(argv=None):
     dp = mesh.shape["data"] // jax.process_count()
     shard_kw = dict(shard_id=jax.process_index(),
                     num_shards=jax.process_count())
-    rng = jax.random.PRNGKey(train_cfg.seed)
+    rng = train_prng(train_cfg.seed)
     if args.profile_dir:
         # trace a few warm steps for TensorBoard/Perfetto inspection
         from openeat_tpu.utils.profiling import trace

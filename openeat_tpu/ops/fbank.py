@@ -77,6 +77,26 @@ def next_pow2(n: int) -> int:
     return 1 << (n - 1).bit_length()
 
 
+@functools.lru_cache(maxsize=8)
+def dft_basis(frame_len: int, padded: int) -> np.ndarray:
+    """[frame_len, 2*(padded//2+1)] real-DFT basis (cos block, then
+    -sin block), so power = (f@C)^2 + (f@S)^2 for a zero-padded rFFT.
+
+    Rationale: XLA's FFT on TPU runs on the VPU via a generic
+    decomposition; expressing the 512-point rFFT of 400-sample frames
+    as ONE [B*T, 400] x [400, 514] f32 matmul puts the frontend's only
+    heavy op on the MXU (the zero-padded tail contributes nothing, so
+    the basis needs only frame_len rows). ~33 GFLOP at the flagship
+    batch — sub-ms, vs ~6-10 ms of in-step FFT time
+    (benchmarks/results/r4_step_diag/step_ablation.log: frontend 11.8).
+    """
+    n = np.arange(frame_len, dtype=np.float64)[:, None]
+    k = np.arange(padded // 2 + 1, dtype=np.float64)[None, :]
+    theta = 2.0 * math.pi * n * k / padded
+    return np.concatenate([np.cos(theta), -np.sin(theta)],
+                          axis=1).astype(np.float32)
+
+
 def frame_signal(wav: jax.Array, frame_len: int, frame_shift: int,
                  max_frames: int) -> jax.Array:
     """[B, N] -> [B, max_frames, frame_len] via strided gather.
@@ -103,6 +123,7 @@ def fbank(
     preemphasis: float = 0.97,
     remove_dc_offset: bool = True,
     rng: jax.Array | None = None,
+    fft_impl: str = "matmul",
 ) -> tuple[jax.Array, jax.Array]:
     """Batched kaldi fbank. wav: [B, N] float32 (already x32768 scaled),
     wav_lens: [B] sample counts. Returns (feats [B, T, M] f32, flens [B]).
@@ -140,10 +161,19 @@ def fbank(
     povey = (0.5 - 0.5 * np.cos(2.0 * math.pi * win_n / (frame_len - 1))) ** 0.85
     frames = frames * jnp.asarray(povey, frames.dtype)
 
-    pad = padded - frame_len
-    frames = jnp.pad(frames, ((0, 0), (0, 0), (0, pad)))
-    spec = jnp.fft.rfft(frames, n=padded, axis=-1)          # [B,T,padded/2+1]
-    power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    if fft_impl == "matmul":
+        # rFFT as one MXU matmul (see dft_basis); numerically within
+        # f32 rounding of jnp.fft.rfft (both accumulate ~400 f32 terms)
+        basis = jnp.asarray(dft_basis(frame_len, padded))
+        spec_ri = jnp.einsum("btl,lk->btk", frames, basis,
+                             preferred_element_type=jnp.float32)
+        nb = padded // 2 + 1
+        power = spec_ri[..., :nb] ** 2 + spec_ri[..., nb:] ** 2
+    else:
+        pad = padded - frame_len
+        frames = jnp.pad(frames, ((0, 0), (0, 0), (0, pad)))
+        spec = jnp.fft.rfft(frames, n=padded, axis=-1)      # [B,T,padded/2+1]
+        power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
     mel = jnp.asarray(mel_banks(num_mel_bins, padded, float(sample_rate)))
     # MXU: [B*T, F] @ [F, M]
     energies = jnp.einsum("btf,fm->btm", power, mel,

@@ -53,15 +53,20 @@ TP_RULES: list[tuple[str, P]] = [
 
 def make_mesh(data: int = -1, model: int = 1,
               devices: list | None = None) -> Mesh:
-    """Build a 2-D ('data','model') mesh. data=-1 takes the remainder."""
+    """Build a 2-D ('data','model') mesh. data=-1 takes the remainder.
+
+    An explicit data*model smaller than the host's device count uses
+    the first data*model devices (the CUDA_VISIBLE_DEVICES-subset
+    analog of the reference's single-GPU runs, e.g. `--dp 1` on a
+    multi-chip host)."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if model < 1:
         model = 1
     if data == -1:
         data = n // model
-    assert data * model == n, f"{data}x{model} != {n} devices"
-    arr = np.array(devices).reshape(data, model)
+    assert data * model <= n, f"{data}x{model} > {n} devices"
+    arr = np.array(devices[: data * model]).reshape(data, model)
     return Mesh(arr, ("data", "model"))
 
 

@@ -105,13 +105,22 @@ def build_train_step(model, tx: optax.GradientTransformation,
 
     def train_step(state: TrainState, batch, rng):
         grads, metrics = compute_grads(state.params, batch, rng)
-        gnorm = optax.global_norm(grads)
+        # FLAT clip: one concatenate + one reduction instead of
+        # optax.global_norm's per-tensor reduce swarm (~115 leaves). The
+        # per-leaf update path measured 18 ms/step of pure kernel-launch
+        # overhead on the v5e flagship (r4_step_diag/opt_probe.log);
+        # together with the optax.flatten-ed optimizer the whole
+        # clip+Adam+guard tail runs on a handful of vector-wide kernels.
+        from jax.flatten_util import ravel_pytree
+        flat_g, unravel = ravel_pytree(grads)
+        gnorm = jnp.sqrt(jnp.sum(
+            jnp.square(flat_g.astype(jnp.float32))))
         finite = jnp.isfinite(gnorm)
         # clip by global norm (reference executor.py:58)
         scale = jnp.where(
             finite, jnp.minimum(1.0, grad_clip / jnp.maximum(gnorm, 1e-12)),
             0.0)
-        grads = jax.tree.map(lambda g: g * scale, grads)
+        grads = unravel(flat_g * scale.astype(flat_g.dtype))
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         # skip the whole update on non-finite grad norm (executor.py:59-60)

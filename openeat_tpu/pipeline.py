@@ -136,7 +136,8 @@ class DeviceFeeder:
             t.join(timeout=5.0)
 
     def _device_batches(self) -> Iterator[tuple[list, dict]]:
-        rng = jax.random.PRNGKey(self.seed + self.epoch)
+        from openeat_tpu.utils.common import train_prng
+        rng = train_prng(self.seed + self.epoch)
         self.epoch += 1
         multihost = jax.process_count() > 1
         accum = self.accum_grad

@@ -39,6 +39,23 @@ def init_logger(name: str = "openeat_tpu", log_file: str | None = None,
     return logger
 
 
+def train_prng(seed: int, impl: str = "rbg") -> jax.Array:
+    """Root PRNG key for training loops.
+
+    impl='rbg' derives random bits with the hardware-friendly XLA
+    RngBitGenerator instead of counter-based threefry. On the flagship
+    v5e train step the difference is 50 ms/step — threefry mask
+    generation for ~60 dropout sites plus SpecAugment was 40% of the
+    whole step (121.2 -> 71.2 ms, benchmarks/results/r4_step_diag/
+    opt_probe.log). Falls back to threefry PRNGKey if the impl is
+    unavailable. Decode paths keep plain PRNGKey (negligible RNG use).
+    """
+    try:
+        return jax.random.key(seed, impl=impl)
+    except Exception:
+        return jax.random.PRNGKey(seed)
+
+
 def pad_list(xs: list, pad_value: float, max_len: int | None = None):
     """Pad a python list of 1-D arrays to [B, max_len] (reference common.py:32-60).
 
