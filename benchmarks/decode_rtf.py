@@ -162,7 +162,8 @@ def streaming_throughput(suffix=""):
         batch = StreamingBatch(model, params, slots=s_count,
                                chunk_size=16, num_left_chunks=4,
                                beam_size=10, max_hyp_len=64,
-                               enc_capacity=256)
+                               enc_capacity=256,
+                               transfer_dtype="float16")
 
         def drive():
             """One full lifecycle: open S streams, feed the whole 10 s

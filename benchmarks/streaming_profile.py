@@ -64,17 +64,16 @@ def main():
         f0 = batch._consumed(i)
         t0 = time.perf_counter()
         w = sl.fe.window(f0, batch.win_frames)
-        windows = np.zeros((1, batch.win_frames, batch.mel), np.float32)
-        windows[0, : w.shape[0]] = w
-        valid = np.full((1,), batch.chunk, np.int32)
-        active = np.ones((1,), bool)
+        packed = np.zeros((1, batch.win_frames + 1, batch.mel),
+                          np.float16)
+        packed[0, : w.shape[0]] = w
+        packed[0, -1, 0] = batch.chunk
+        packed[0, -1, 1] = 1.0
         t1 = time.perf_counter()
-        dw, dv, da = (jnp.asarray(windows), jnp.asarray(valid),
-                      jnp.asarray(active))
+        dw = jnp.asarray(packed)
         jax.block_until_ready(dw)
         t2 = time.perf_counter()
-        batch.state, toks = batch._step(batch.params, batch.state, dw,
-                                        dv, da)
+        batch.state, toks = batch._step(batch.params, batch.state, dw)
         jax.block_until_ready(toks)
         t3 = time.perf_counter()
         np.asarray(toks)

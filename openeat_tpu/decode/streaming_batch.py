@@ -97,8 +97,19 @@ def _build_step(model: ASRModel, chunk: int, left: int, cap: int,
 
     vone = jax.vmap(one, in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0))
 
-    def step(params, state: BatchState, windows, valid, active):
-        """windows [S, W, F]; valid [S] int32; active [S] bool."""
+    def step(params, state: BatchState, packed):
+        """packed [S, W+1, F]: rows [0,W) are the feature windows; row
+        W carries the per-slot scalars (col 0 = valid chunk length, col
+        1 = active flag). One packed array = ONE h2d upload per lockstep
+        iteration — the r4 probe measured the three separate uploads
+        (windows/valid/active) at 9-94 ms per iteration vs a 4-17 ms
+        chunk step (benchmarks/results/r4_decode_rtf/
+        streaming_iter_probe.log), so transfer count, not bytes, was
+        the streaming throughput ceiling."""
+        packed = packed.astype(jnp.float32)
+        windows = packed[:, :-1]
+        valid = packed[:, -1, 0].astype(jnp.int32)
+        active = packed[:, -1, 1] > 0
         toks, enc_c, k2, v2, cnn2, beam2 = vone(
             params, windows, state.offset, state.k, state.v,
             state.cache_len, state.cnn, valid, state.beam)
@@ -141,21 +152,27 @@ def _get_step(model, chunk, left, cap, blank_id):
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
-def _reset_slot(state: BatchState, i, beam0) -> BatchState:
-    """Zero slot i across every leaf in ONE device dispatch — a python
-    loop of .at[i].set() calls is ~3*n_blocks+4 separate dispatches per
-    stream open, which dominates short-utterance serving on the
-    dispatch-latency-bound tunnel (CLAUDE.md perf anchors)."""
-    z = lambda a: a.at[i].set(0)
+def _reset_slots(state: BatchState, mask, beam0) -> BatchState:
+    """Zero EVERY masked slot in one dispatch (mask [S] bool). open()
+    defers per-slot resets into a dirty set that run_ready flushes
+    through this, so opening S streams costs one device call instead of
+    S serialized ones (each ~a tunnel dispatch round trip)."""
+    def z(a):
+        m = mask.reshape((-1,) + (1,) * (a.ndim - 1))
+        return jnp.where(m, jnp.zeros((), a.dtype), a)
+
+    def zb(a, b0):
+        m = mask.reshape((-1,) + (1,) * (a.ndim - 1))
+        return jnp.where(m, jnp.broadcast_to(b0, a.shape), a)
+
     return BatchState(
         k=tuple(map(z, state.k)),
         v=tuple(map(z, state.v)),
         cnn=tuple(map(z, state.cnn)),
-        cache_len=state.cache_len.at[i].set(0),
-        offset=state.offset.at[i].set(0),
-        beam=jax.tree.map(lambda a, b0: a.at[i].set(b0),
-                          state.beam, beam0),
-        enc_buf=state.enc_buf.at[i].set(0),
+        cache_len=z(state.cache_len),
+        offset=z(state.offset),
+        beam=jax.tree.map(zb, state.beam, beam0),
+        enc_buf=z(state.enc_buf),
     )
 
 
@@ -286,7 +303,8 @@ class StreamingBatch:
                  blank_id: int = 0, normalization: str = "none",
                  beam_size: int = 10, max_hyp_len: int = 64,
                  enc_capacity: int = 512,
-                 endpoint_config: EndpointConfig | None = None):
+                 endpoint_config: EndpointConfig | None = None,
+                 transfer_dtype: str = "float32"):
         assert model.input_layer == "conv2d", \
             "streaming runtime currently supports conv2d subsampling"
         assert model.causal, "streaming needs a causal conv module"
@@ -311,6 +329,15 @@ class StreamingBatch:
         self.max_hyp_len = max_hyp_len
         self.cap = enc_capacity
         self.win_frames = 4 * chunk_size + 3
+        # h2d dtype for the packed per-iteration upload. float16 halves
+        # the put size — the r4 probes measured per-upload latency (with
+        # a nonlinear jump for MB-scale puts) as the lockstep ceiling,
+        # and fp16 log-mels are ~60 dB SNR (far beyond CER sensitivity;
+        # the streaming-hard drive validates parity empirically). The
+        # default stays float32 so the bit-exact batched==sequential
+        # and streamed==offline test contracts hold; the serving
+        # runtime and throughput benches pass float16.
+        self.transfer_dtype = np.dtype(transfer_dtype)
         # backlog catch-up pipeline depth inside one run_ready call (see
         # run_ready docstring); 4 hides one tunnel-RTT token readback
         # behind later chunk steps with bounded partial-emission lag
@@ -346,6 +373,7 @@ class StreamingBatch:
                              endpoint_config, blank_id)
                        for _ in range(s)]
         self._beam0 = beam0
+        self._dirty: set[int] = set()
         # host mirror of state.offset: the device value advances by
         # exactly `chunk` per active step, so scheduling reads
         # (_ready/finish) never need a per-slot device scalar fetch —
@@ -372,10 +400,20 @@ class StreamingBatch:
         # device state only mutates via _step, which always advances
         # offset for active slots — offset_host == 0 means the slot's
         # device state is still pristine (init zeros + beam0), so a
-        # fresh slot's open() costs no device work at all
+        # fresh slot's open() costs no device work at all. Dirty slots
+        # are only MARKED here; run_ready flushes every pending reset
+        # in one _reset_slots dispatch (S opens = 1 device call).
         if self._offset_host[i]:
-            self.state = _reset_slot(self.state, i, self._beam0)
+            self._dirty.add(i)
             self._offset_host[i] = 0
+
+    def _flush_resets(self):
+        if self._dirty:
+            mask = np.zeros((self.S,), bool)
+            mask[list(self._dirty)] = True
+            self.state = _reset_slots(self.state, jnp.asarray(mask),
+                                      self._beam0)
+            self._dirty.clear()
 
     # ---- audio in ----
 
@@ -414,6 +452,7 @@ class StreamingBatch:
         they fed; only backlog catch-up inside one call is pipelined."""
         emitted: dict[int, list[int]] = {}
         force = dict(force or {})
+        self._flush_resets()
         # each entry: (active, valid, pos0 per slot, toks device arr)
         pending: list = []
 
@@ -438,8 +477,11 @@ class StreamingBatch:
         while True:
             valid = np.zeros((self.S,), np.int32)
             active = np.zeros((self.S,), bool)
-            windows = np.zeros((self.S, self.win_frames, self.mel),
-                               np.float32)
+            # one packed buffer: feature windows + a scalar row (see
+            # _build_step) -> ONE h2d upload per iteration instead of
+            # three, in transfer_dtype (see __init__)
+            packed = np.zeros((self.S, self.win_frames + 1, self.mel),
+                              self.transfer_dtype)
             for i in range(self.S):
                 run_full = self._ready(i)
                 run_short = i in force
@@ -453,17 +495,18 @@ class StreamingBatch:
                 sl = self._slots[i]
                 f0 = self._consumed(i)
                 w = sl.fe.window(f0, self.win_frames)
-                windows[i, : w.shape[0]] = w
+                packed[i, : w.shape[0]] = w
                 valid[i] = self.chunk if run_full else forced
                 active[i] = True
             if not active.any():
                 for p in pending:
                     drain(p)
                 return emitted
+            packed[:, -1, 0] = valid
+            packed[:, -1, 1] = active
             pos0 = self._offset_host.copy()
             self.state, toks = self._step(
-                self.params, self.state, jnp.asarray(windows),
-                jnp.asarray(valid), jnp.asarray(active))
+                self.params, self.state, jnp.asarray(packed))
             self._offset_host[active] += self.chunk
             try:
                 # start streaming the tokens to the host now; without
