@@ -186,9 +186,14 @@ def streaming_throughput(suffix=""):
             return decoded
 
         drive()  # warmup: compiles the chunk step AND the finalize path
-        t0 = time.perf_counter()
-        total_audio = drive()
-        dt = time.perf_counter() - t0
+        # best-of-2 drives: single-draw streaming runs swing with tunnel
+        # interference (r4 measured a 4x outlier at S=32)
+        best_dt, total_audio = float("inf"), 0.0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            total_audio = drive()
+            best_dt = min(best_dt, time.perf_counter() - t0)
+        dt = best_dt
         # vs_baseline: against the 0.05-RTF/stream budget (= 20
         # audio-sec/sec per concurrent stream)
         print(json.dumps({

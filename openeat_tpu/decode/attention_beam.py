@@ -15,6 +15,7 @@ host sync, and the growing KV cache of the reference are all gone.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -111,6 +112,9 @@ def attention_beam_search(decoder_step_fn, encoder_out: jax.Array,
                         length_penalty)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("model", "beam_size", "max_steps",
+                                    "length_penalty"))
 def attention_beam_search_cached(model, params, encoder_out: jax.Array,
                                  encoder_lens: jax.Array, *, beam_size: int,
                                  max_steps: int, length_penalty: float = 0.0
@@ -120,6 +124,12 @@ def attention_beam_search_cached(model, params, encoder_out: jax.Array,
     K/V projected once), instead of the full-prefix recompute of
     :func:`attention_beam_search`. Produces identical hypotheses
     (tested); use this for serving.
+
+    Jitted AS A WHOLE (model/beam/steps static): run un-jitted, the
+    setup (flax applies, repeat, select) executes eagerly op-by-op —
+    the r4 probe measured the same search at 63.5 ms jitted vs ~4.1 s
+    through the eager path on the remote-dispatch chip
+    (benchmarks/results/r4_decode_rtf/attention_beam_probe.log).
     """
     b, t, d = encoder_out.shape
     n = beam_size

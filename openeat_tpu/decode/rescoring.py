@@ -19,6 +19,8 @@ reductions are gathers + masked sums in the same XLA program.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -43,6 +45,10 @@ def _gather_token_scores(logp: jax.Array, tokens: jax.Array,
     return score + eos_logp
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("model", "ctc_weight", "reverse_weight",
+                                    "lm_logp_fn", "lm_weight", "lm_style",
+                                    "return_index"))
 def attention_rescoring(model, params, encoder_out: jax.Array,
                         encoder_lens: jax.Array, hyps: jax.Array,
                         hyp_lens: jax.Array, ctc_scores: jax.Array, *,
@@ -50,6 +56,12 @@ def attention_rescoring(model, params, encoder_out: jax.Array,
                         lm_logp_fn=None, lm_weight: float = 0.0,
                         lm_style: str = "ar", return_index: bool = False):
     """Rescore prefix-beam nbest.
+
+    Jitted as a whole (model/weights/lm_logp_fn static — pass a STABLE
+    lm_logp_fn, not a fresh lambda per call, or every call recompiles):
+    un-jitted, the decoder applies execute eagerly op-by-op, which on a
+    remote-dispatch chip costs seconds per batch (same failure the r4
+    attention_beam_probe quantified at ~65x).
 
     encoder_out: [B, T, D]; hyps: [B, K, L] (IGNORE_ID padded);
     hyp_lens: [B, K]; ctc_scores: [B, K].
