@@ -24,11 +24,13 @@ import jax.numpy as jnp
 NEG_INF = -1.0e9
 
 # Fused rel-pos scores: compute (q+u)k^T + (q+v)p^T as ONE einsum over a
-# concatenated 2*d_k contraction ([q+u ; q+v] . [k ; p]). On the v5e MXU
-# the d_k=64 contraction underfills the 128-wide systolic array; fusing
-# doubles it to 128 and halves the number of score matmuls. Toggled by
-# benchmarks/attn_fusion_bench.py; exact-equivalence is tested in
-# tests/test_model.py::test_relpos_fused_scores_match.
+# concatenated 2*d_k contraction ([q+u ; q+v] . [k ; p]), filling the
+# 128-wide MXU contraction instead of two d_k=64 halves. The honest r4
+# back-to-back A/B measures PARITY with the two-einsum form (0.994x,
+# benchmarks/results/r4_step_diag/attn_fusion_honest.log — the r2
+# "1.41x" figure was a pre-fix timing artifact); the fused form is kept
+# as default for the halved HBM score-traffic, with exact equivalence
+# tested in tests/test_model.py::test_relpos_fused_scores_match.
 FUSED_RELPOS_SCORES = True
 
 
