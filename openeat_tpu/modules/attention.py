@@ -21,6 +21,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from openeat_tpu.modules.dropout import Dropout
+
 NEG_INF = -1.0e9
 
 # Fused rel-pos scores: compute (q+u)k^T + (q+v)p^T as ONE einsum over a
@@ -93,7 +95,7 @@ class MultiHeadedAttention(nn.Module):
         self.linear_k = dense("linear_k")
         self.linear_v = dense("linear_v")
         self.linear_out = dense("linear_out")
-        self.attn_dropout = nn.Dropout(self.dropout_rate)
+        self.attn_dropout = Dropout(self.dropout_rate)
 
     def _qkv(self, query, key, value):
         b = query.shape[0]
@@ -154,7 +156,7 @@ class RelPositionMultiHeadedAttention(nn.Module):
             "pos_bias_u", init, (self.num_heads, self.d_k), jnp.float32)
         self.pos_bias_v = self.param(
             "pos_bias_v", init, (self.num_heads, self.d_k), jnp.float32)
-        self.attn_dropout = nn.Dropout(self.dropout_rate)
+        self.attn_dropout = Dropout(self.dropout_rate)
 
     def __call__(self, query, key, value, mask=None, pos_emb=None, *,
                  deterministic: bool = True):

@@ -26,6 +26,8 @@ import jax.numpy as jnp
 from openeat_tpu.modules.attention import MultiHeadedAttention
 from openeat_tpu.modules.feed_forward import Adapter, PositionwiseFeedForward
 
+from openeat_tpu.modules.dropout import Dropout
+
 
 class DecoderLayer(nn.Module):
     d_model: int
@@ -58,7 +60,7 @@ class DecoderLayer(nn.Module):
             self.adapter = Adapter(
                 self.d_model, self.dropout_rate, self.down_size, self.scalar,
                 residual=False, dtype=self.dtype, name="adapter")
-        self.drop = nn.Dropout(self.dropout_rate)
+        self.drop = Dropout(self.dropout_rate)
 
     def __call__(self, tgt: jax.Array, tgt_mask: jax.Array,
                  memory: jax.Array, memory_mask: jax.Array,

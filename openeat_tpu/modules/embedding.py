@@ -13,6 +13,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from openeat_tpu.modules.dropout import Dropout
+
 
 def sinusoid_table(length: int, d_model: int, dtype=jnp.float32,
                    offset=0) -> jax.Array:
@@ -42,7 +44,7 @@ class PositionalEncoding(nn.Module):
         t = x.shape[1]
         pe = sinusoid_table(t, self.d_model, x.dtype, offset)[None]
         x = x * jnp.asarray(self.d_model ** 0.5, x.dtype) + pe
-        x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        x = Dropout(self.dropout_rate)(x, deterministic=deterministic)
         return x, pe
 
 
@@ -58,7 +60,7 @@ class RelPositionalEncoding(nn.Module):
         t = x.shape[1]
         pe = sinusoid_table(t, self.d_model, x.dtype, offset)[None]
         x = x * jnp.asarray(self.d_model ** 0.5, x.dtype)
-        x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        x = Dropout(self.dropout_rate)(x, deterministic=deterministic)
         return x, pe
 
 
@@ -73,5 +75,5 @@ class NoPositionalEncoding(nn.Module):
     def __call__(self, x: jax.Array, *, offset: int = 0,
                  deterministic: bool = True) -> tuple[jax.Array, jax.Array]:
         pe = jnp.zeros((1, x.shape[1], self.d_model), x.dtype)
-        x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        x = Dropout(self.dropout_rate)(x, deterministic=deterministic)
         return x, pe

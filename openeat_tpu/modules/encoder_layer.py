@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from openeat_tpu.modules.attention import (MultiHeadedAttention,
                                            RelPositionMultiHeadedAttention)
 from openeat_tpu.modules.convolution import ConvolutionModule
+from openeat_tpu.modules.dropout import Dropout
 from openeat_tpu.modules.feed_forward import (Adapter,
                                               MoEPositionwiseFeedForward,
                                               PositionwiseFeedForward)
@@ -89,7 +90,7 @@ class EncoderLayer(nn.Module):
                 name="feed_forward")
         else:
             self.feed_forward = ffn("feed_forward")
-        self.drop = nn.Dropout(self.dropout_rate)
+        self.drop = Dropout(self.dropout_rate)
 
     def __call__(self, x: jax.Array, mask: jax.Array, pos_emb: jax.Array,
                  mask_pad: jax.Array | None = None, *,

@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from openeat_tpu.modules.dropout import Dropout
+
 
 class PositionwiseFeedForward(nn.Module):
     d_model: int
@@ -27,7 +29,7 @@ class PositionwiseFeedForward(nn.Module):
     def __call__(self, x: jax.Array, *, deterministic: bool = True):
         h = nn.Dense(self.hidden_units, dtype=self.dtype, name="w_1")(x)
         h = self.activation(h)
-        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        h = Dropout(self.dropout_rate)(h, deterministic=deterministic)
         return nn.Dense(self.d_model, dtype=self.dtype, name="w_2")(h)
 
 
@@ -147,7 +149,7 @@ class MoEPositionwiseFeedForward(nn.Module):
         h = self.activation(
             jnp.einsum("ecd,edf->ecf", expert_in, w_in)
             + b_in[:, None, :])
-        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        h = Dropout(self.dropout_rate)(h, deterministic=deterministic)
         expert_out = (jnp.einsum("ecf,efd->ecd", h, w_out)
                       + b_out[:, None, :])
         y = jnp.einsum("sec,ecd->sd", combine, expert_out)
@@ -175,13 +177,13 @@ class Adapter(nn.Module):
         h = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="norm")(x)
         h = nn.Dense(self.down_size, dtype=self.dtype, name="down_proj")(h)
         h = jax.nn.relu(h)
-        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        h = Dropout(self.dropout_rate)(h, deterministic=deterministic)
         h = nn.Dense(self.d_model, dtype=self.dtype, name="up_proj")(h)
         if self.scalar == -1:
             scale = self.param("scale", nn.initializers.ones, (1,),
                                jnp.float32).astype(h.dtype)
         else:
             scale = jnp.asarray(self.scalar, h.dtype)
-        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        h = Dropout(self.dropout_rate)(h, deterministic=deterministic)
         update = scale * h
         return residual + update if self.residual else update

@@ -18,6 +18,8 @@ from typing import Any
 import flax.linen as nn
 import jax
 
+from openeat_tpu.modules.dropout import Dropout
+
 
 def conv_out_len(lengths: jax.Array, kernel: int, stride: int) -> jax.Array:
     """Valid-conv output length: floor((L - kernel) / stride) + 1."""
@@ -37,7 +39,7 @@ class LinearNoSubsampling(nn.Module):
     def __call__(self, x, lengths, *, offset: int = 0, deterministic=True):
         x = nn.Dense(self.d_model, dtype=x.dtype)(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=x.dtype)(x)
-        x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        x = Dropout(self.dropout_rate)(x, deterministic=deterministic)
         x, pos_emb = self.pos_enc(x, offset=offset, deterministic=deterministic)
         return x, pos_emb, lengths
 
