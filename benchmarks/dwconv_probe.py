@@ -70,15 +70,18 @@ def main():
          / (np.abs(np.asarray(gx[1])) + 1.0)).max())
     print("grad diffs", results, flush=True)
 
-    # timing: conv output padded back to TP so calls chain
+    # timing: 24 chained reps INSIDE one jit (a per-call dispatch through
+    # the axon tunnel costs ~ms and would swamp the kernel itself)
     def chain(f):
         def g(y):
-            out = f(y[:, :TP], w)
-            return jnp.pad(out, ((0, 0), (0, K - 1), (0, 0)))
+            for _ in range(24):
+                out = f(y[:, :TP], w)
+                y = jnp.pad(out, ((0, 0), (0, K - 1), (0, 0)))
+            return y
         return jax.jit(g)
 
-    results["t_pallas_ms"] = timeit(chain(_pallas_dwconv), x)
-    results["t_xla_ms"] = timeit(
+    results["t_pallas_ms_x24"] = timeit(chain(_pallas_dwconv), x)
+    results["t_xla_ms_x24"] = timeit(
         chain(lambda y, w: _xla_dwconv(y, w.astype(y.dtype))), x)
     print(json.dumps(results))
 
