@@ -115,6 +115,13 @@ class Difficulty:
     tok_dur: float = 0.12
     min_len: int = 4
     max_len: int = 14
+    reverb: tuple | None = None  # (rt60_lo, rt60_hi, wet_db): convolve
+    # each utterance with a synthetic room impulse response (unit direct
+    # path + exponentially decaying noise tail at `wet_db` relative
+    # level) BEFORE the additive-noise/gain channel — a far-field
+    # condition the lmhard profile doesn't cover (VERDICT r4 next #6).
+    # Reverb smears each chord into its successors, so the frame-local
+    # CTC posterior degrades more than the sequence-level searches.
     prior_context: int = 0    # number of predecessor GROUPS that key the
     # favored pair member (0 = hard's per-(g1, pair) coin; k>=2 gives an
     # order-(k+1) text prior). Each (g_{-k}..g_{-1}, pair) cell carries
@@ -309,6 +316,21 @@ def synth_utt(rng: np.random.Generator, sent: list[str],
                          / (0.01 * RATE))
         segs.append(seg * env)
     x = np.concatenate(segs)
+    if diff.reverb is not None:
+        rt_lo, rt_hi, wet_db = diff.reverb
+        rt60 = rng.uniform(rt_lo, rt_hi)
+        n_h = int(rt60 * RATE)
+        t_h = np.arange(1, n_h + 1) / RATE
+        # diffuse tail: white noise under a -60 dB/rt60 exponential
+        # envelope, scaled so tail energy sits wet_db below the direct
+        tail = rng.standard_normal(n_h) * np.exp(
+            -3.0 * np.log(10.0) * t_h / rt60)
+        tail *= 10.0 ** (wet_db / 20.0) / max(
+            np.sqrt(np.sum(tail ** 2)), 1e-9)
+        h = np.concatenate(([1.0], tail))
+        n_fft = 1 << int(np.ceil(np.log2(len(x) + n_h)))
+        x = np.fft.irfft(np.fft.rfft(x, n_fft) * np.fft.rfft(h, n_fft),
+                         n_fft)[:len(x) + n_h].astype(np.float64)
     if diff.snr_db is not None:
         snr = rng.uniform(*diff.snr_db)
         sig_pow = float(np.mean(x ** 2))
@@ -436,6 +458,22 @@ def main():
     p.add_argument("--scale_jitter", type=float, default=None)
     p.add_argument("--pair_prior", type=float, default=None)
     p.add_argument("--amp_jitter", type=float, default=None)
+    p.add_argument("--adversarial_tests", action="store_true",
+                   help="also generate test_reverb (far-field channel) "
+                        "and test_long (length extrapolation: 18-26 "
+                        "tokens vs the 6-16 training range) splits from "
+                        "the SAME grammar — decodable by a model trained "
+                        "on the base profile (VERDICT r4 next #6)")
+    p.add_argument("--n_adv", type=int, default=1024,
+                   help="utterances per adversarial split")
+    p.add_argument("--only_adversarial", action="store_true",
+                   help="skip train/dev/test/lm_text generation (add the "
+                        "adversarial splits to an existing work dir; the "
+                        "grammar is deterministic in --seed so the splits "
+                        "match what --adversarial_tests would have made)")
+    p.add_argument("--reverb_rt60", type=float, nargs=2,
+                   default=(0.12, 0.30), metavar=("LO", "HI"))
+    p.add_argument("--reverb_wet_db", type=float, default=-6.0)
     args = p.parse_args()
     if args.profile is not None:
         assert not args.hard or args.profile == "hard", \
@@ -464,15 +502,26 @@ def main():
         from dataclasses import replace
         diff = replace(diff, **overrides)
     g = _grammar(diff)
-    make_split(args.out_dir, "train", args.n_train, args.seed, g, diff,
-               flac=False)
-    make_split(args.out_dir, "dev", args.n_dev, args.seed + 1, g, diff,
-               flac=True)
-    make_split(args.out_dir, "test", args.n_test, args.seed + 2, g, diff,
-               flac=True)
-    if diff.lm_text_n:
-        make_text_split(args.out_dir, "lm_text", diff.lm_text_n,
-                        args.seed + 3, g, diff)
+    if not args.only_adversarial:
+        make_split(args.out_dir, "train", args.n_train, args.seed, g,
+                   diff, flac=False)
+        make_split(args.out_dir, "dev", args.n_dev, args.seed + 1, g,
+                   diff, flac=True)
+        make_split(args.out_dir, "test", args.n_test, args.seed + 2, g,
+                   diff, flac=True)
+        if diff.lm_text_n:
+            make_text_split(args.out_dir, "lm_text", diff.lm_text_n,
+                            args.seed + 3, g, diff)
+    if args.adversarial_tests or args.only_adversarial:
+        from dataclasses import replace
+        reverb_diff = replace(diff, reverb=(args.reverb_rt60[0],
+                                            args.reverb_rt60[1],
+                                            args.reverb_wet_db))
+        make_split(args.out_dir, "test_reverb", args.n_adv,
+                   args.seed + 4, g, reverb_diff, flac=True)
+        long_diff = replace(diff, min_len=18, max_len=26)
+        make_split(args.out_dir, "test_long", args.n_adv,
+                   args.seed + 5, g, long_diff, flac=True)
     print(f"corpus at {args.out_dir} [{diff.name}]: {args.n_train}/"
           f"{args.n_dev}/{args.n_test} train/dev/test utts"
           + (f" + {diff.lm_text_n} lm_text sents" if diff.lm_text_n

@@ -268,4 +268,74 @@ PY
 if [ "$profile" = lmhard ]; then
   echo "=== stage 8: executable quality gate (CLAUDE.md band) ==="
   python "$repo_root/benchmarks/check_quality_gate.py" "$exp_dir"
+
+  echo "=== stage 9: adversarial splits (reverb channel + length extrapolation) ==="
+  # VERDICT r4 next #6: two conditions the lmhard training distribution
+  # doesn't cover, decoded with the SAME checkpoint — the mode ordering
+  # (greedy > rescoring, fusion helps) must survive domain shift with
+  # bootstrap significance.
+  if [ ! -f data/test_reverb/wav.scp ]; then
+    python "$repo_root/benchmarks/make_structured_corpus.py" "$work" \
+      --profile lmhard --only_adversarial
+  fi
+  for x in test_reverb test_long; do
+    [ -f data/$x/format.data ] || \
+      python "$repo_root/tools/format_data.py" data/$x
+  done
+  for split in test_reverb test_long; do
+    max_hyp=24; [ "$split" = test_long ] && max_hyp=32
+    for mode in ctc_greedy_search attention_rescoring; do
+      python -m openeat_tpu.bin.recognize \
+        --config "$exp_dir/train.yaml" \
+        --checkpoint "$exp_dir/avg_best${average_num}" \
+        --test_data data/$split/format.data \
+        --dict data/dict.txt \
+        --mode "$mode" \
+        --batch_size 64 --beam_size "$beam_size" \
+        --ctc_weight "$ctc_weight" --reverse_weight "$reverse_weight" \
+        --max_hyp_len "$max_hyp" \
+        --result_file "$exp_dir/hyp_${split}_${mode}.txt"
+    done
+    python -m openeat_tpu.bin.recognize \
+      --config "$exp_dir/train.yaml" \
+      --checkpoint "$exp_dir/avg_best${average_num}" \
+      --test_data data/$split/format.data \
+      --dict data/dict.txt \
+      --mode attention_rescoring \
+      --batch_size 64 --beam_size "$beam_size" \
+      --ctc_weight "$ctc_weight" --reverse_weight "$reverse_weight" \
+      --max_hyp_len "$max_hyp" \
+      --ngram_lm "$exp_dir/lm.arpa" --lm_weight "$lm_weight" \
+      --result_file "$exp_dir/hyp_${split}_rescoring_ngram.txt"
+  done
+  python - <<PY
+import json, re, subprocess
+out = {}
+for split in ["test_reverb", "test_long"]:
+    out[split] = {}
+    for tag in ["ctc_greedy_search", "attention_rescoring",
+                "rescoring_ngram"]:
+        hyp = "$exp_dir/hyp_%s_%s.txt" % (split, tag)
+        cer = "$exp_dir/cer_%s_%s.txt" % (split, tag)
+        subprocess.run(
+            ["python", "$repo_root/tools/compute_wer.py",
+             "data/%s/text" % split, hyp],
+            stdout=open(cer, "w"), check=True)
+        m = re.findall(r"Overall.*?(\d+\.\d+)", open(cer).read())
+        out[split][tag] = float(m[-1]) if m else None
+    for name, a, b in [
+            ("greedy_vs_rescoring", "ctc_greedy_search",
+             "attention_rescoring"),
+            ("rescoring_vs_ngram_fusion", "attention_rescoring",
+             "rescoring_ngram")]:
+        r = subprocess.run(
+            ["python", "$repo_root/tools/compare_wer.py",
+             "data/%s/text" % split,
+             "$exp_dir/hyp_%s_%s.txt" % (split, a),
+             "$exp_dir/hyp_%s_%s.txt" % (split, b)],
+            capture_output=True, text=True, check=True)
+        out[split][name] = json.loads(r.stdout)
+    print(split, json.dumps(out[split]))
+json.dump(out, open("$exp_dir/results_adversarial.json", "w"), indent=1)
+PY
 fi

@@ -77,9 +77,10 @@ class HostFrontend:
     once.
 
     Incremental fbank is exact: each frame depends only on its own
-    `frame_len` samples, so fixed `frame_group`-frame groups (one
-    compiled XLA shape) reproduce offline fbank bit-for-bit; the flush
-    group is zero-padded but over-count frames are discarded.
+    `frame_len` samples, so extracting in groups reproduces offline
+    fbank (up to ~1e-6 float reassociation across the power-of-2
+    group-size buckets' compiled widths); the flush group is
+    zero-padded but over-count frames are discarded.
     "running" normalization applies the training frontend's per-utt
     mean/var formula with frames-so-far statistics (the streamable
     causal approximation; use global CMVN models for exactness).
@@ -90,10 +91,18 @@ class HostFrontend:
     index, so the public API stays in absolute positions)."""
 
     FRAME_GROUP = 16
+    # largest frames-per-call bucket for backlog extraction: a caller
+    # that feeds seconds of audio at once (serving catch-up, the
+    # throughput drives) otherwise pays one jit dispatch per 16-frame
+    # group — measured as the top lifecycle bucket at S>=32
+    # (benchmarks/results/r5_streaming/lifecycle_probe.log). Power-of-2
+    # buckets 16..512 bound the compile count at 6.
+    MAX_GROUP_FRAMES = 512
 
     def __init__(self, mel: int, rate: int, normalization: str = "none"):
         assert normalization in ("none", "running"), normalization
         self.mel = mel
+        self.rate = rate
         self.normalization = normalization
         self.frame_len = int(rate * 0.025)
         self.frame_shift = int(rate * 0.010)
@@ -138,13 +147,23 @@ class HostFrontend:
     def _extract_full_groups(self) -> None:
         n_avail = fbank_mod.num_frames(self.n_samples, self.frame_len,
                                        self.frame_shift)
-        while n_avail - self.n_frames_done >= self.FRAME_GROUP:
+        while True:
+            todo = n_avail - self.n_frames_done
+            if todo < self.FRAME_GROUP:
+                break
+            # largest power-of-2 bucket that fits the backlog (exactness
+            # is unaffected: each frame reads only its own samples)
+            g = self.FRAME_GROUP
+            while g * 2 <= min(todo, self.MAX_GROUP_FRAMES):
+                g *= 2
             s0 = self.n_frames_done * self.frame_shift - self._samples_base
-            seg = self.samples[s0: s0 + self.group_samples]
-            feats = np.asarray(self._fbank_group(seg),
+            need = (g - 1) * self.frame_shift + self.frame_len
+            fn = (self._fbank_group if g == self.FRAME_GROUP
+                  else _get_fbank_group_fn(self.rate, self.mel, need))
+            feats = np.asarray(fn(self.samples[s0: s0 + need]),
                                np.float32)
             self._ingest(feats)
-            self.n_frames_done += self.FRAME_GROUP
+            self.n_frames_done += g
         self._trim_samples()
 
     def flush_tail(self) -> None:

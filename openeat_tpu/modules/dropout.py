@@ -19,9 +19,29 @@ by <0.2% absolute, far below seed-to-seed variance.
 
 from __future__ import annotations
 
+import logging
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+_warned_rates: set[float] = set()
+
+
+def _warn_quantization(rate: float, q: int) -> None:
+    """Log once per process when q/256 deviates visibly from 1-rate.
+
+    Unusual rates (e.g. a 0.001 sweep point) round to an exact no-op
+    (q=256) or shift by >1% — surface that instead of silently
+    changing the effective regularization (ADVICE r4).
+    """
+    realized = min(q, 256) / 256.0
+    if abs(realized - (1.0 - rate)) > 0.004 and rate not in _warned_rates:
+        _warned_rates.add(rate)
+        logging.getLogger("openeat").warning(
+            "byte-mask dropout quantizes rate %.4g to keep %d/256=%.4f "
+            "(requested keep %.4f)%s", rate, q, realized, 1.0 - rate,
+            " — an exact no-op" if q >= 256 else "")
 
 
 class Dropout(nn.Module):
@@ -34,6 +54,7 @@ class Dropout(nn.Module):
         if deterministic or self.rate == 0.0:
             return x
         q = int(round((1.0 - float(self.rate)) * 256.0))
+        _warn_quantization(float(self.rate), q)
         if q >= 256:
             return x
         if q <= 0:

@@ -53,12 +53,20 @@ def _pallas_dwconv(x: jax.Array, w: jax.Array) -> jax.Array:
     k = w.shape[0]
     t_out = tp - k + 1
     # B-tile sized to keep in+out blocks well under VMEM (~16 MB)
-    tb = b
+    tb = None
     for cand in (64, 32, 16, 8, 4, 2, 1):
         if b % cand == 0 and cand * (tp + t_out) * c * x.dtype.itemsize \
                 < 4 * 1024 * 1024:
             tb = cand
             break
+    if tb is None:
+        # even a single example exceeds the VMEM tile budget — fail
+        # loudly instead of handing Mosaic an oversized full-batch
+        # block (ADVICE r4); callers can use the XLA path instead
+        raise ValueError(
+            f"dwconv tile for one example ({(tp + t_out) * c * x.dtype.itemsize}"
+            f" bytes, T={tp}, C={c}) exceeds the 4MB VMEM budget; "
+            "use the XLA depthwise conv for this shape")
     kern = functools.partial(_kernel, k=k, t_out=t_out)
     return pl.pallas_call(
         kern,

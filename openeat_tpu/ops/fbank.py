@@ -224,6 +224,15 @@ def fbank(
         fft_impl = "conv" if dither == 0.0 else "matmul"
 
     if fft_impl == "conv":
+        if dither != 0.0:
+            # kaldi dithers AFTER framing (independent noise per frame
+            # sample, including the overlap region) — a linear
+            # pre-framing map cannot express that, so an explicit
+            # fft_impl='conv' with dither would silently change
+            # training-time feature statistics (ADVICE r4).
+            raise ValueError(
+                "fft_impl='conv' cannot apply dither; use fft_impl="
+                "'matmul' (or 'auto', which routes dithered calls there)")
         comp = jnp.asarray(composed_conv_basis(
             frame_len, padded, preemphasis, remove_dc_offset))
         need = (t - 1) * frame_shift + frame_len

@@ -75,11 +75,22 @@ SLOW_TESTS = {
 
 
 def pytest_collection_modifyitems(config, items):
+    seen_files, seen_tests = set(), set()
     for item in items:
         fname = os.path.basename(str(item.fspath))
         base = item.name.split("[")[0]
         if fname in SLOW_FILES or base in SLOW_TESTS:
             item.add_marker(pytest.mark.slow)
+            seen_files.add(fname)
+            seen_tests.add(base)
+    # On full-collection runs (no path/node filtering), every SLOW_*
+    # entry must have matched — a renamed or removed test otherwise
+    # silently rejoins the fast suite / leaves a dead entry (ADVICE r4).
+    full = all(not a.endswith(".py") and "::" not in a for a in config.args)
+    if full and items:
+        stale = (SLOW_FILES - seen_files) | (SLOW_TESTS - seen_tests)
+        assert not stale, (
+            f"stale SLOW_FILES/SLOW_TESTS entries (renamed test?): {stale}")
 
 
 @pytest.fixture
