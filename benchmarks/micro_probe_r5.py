@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import functools
 import json
+import os
 
 import jax
 
@@ -47,6 +48,27 @@ from benchmarks._honest import time_per_call
 
 B, T, F, D = 256, 312, 80, 256
 V = 4233
+# tunable honest-window sizes + reps (interference riding: the r5
+# first runs under k=3/12, reps=3 were 4-250x off known anchors)
+K1 = int(os.environ.get("PROBE_K1", "3"))
+K2 = int(os.environ.get("PROBE_K2", "12"))
+REPS = int(os.environ.get("PROBE_REPS", "3"))
+
+
+def anchor_tflops() -> float:
+    """4096^3 bf16 matmul chain — the known 125 TF/s tunnel anchor
+    (benchmarks/matmul_roofline.py). Rates far below that mean the
+    window was interference-polluted; every probe row reports its own
+    anchor so a bad session is self-evident in the log."""
+    n = 4096
+    a = jax.random.normal(jax.random.PRNGKey(2), (n, n), jnp.bfloat16)
+
+    def f(prev):
+        x = a if prev is None else prev
+        return (x @ a) * jnp.bfloat16(1e-3)
+
+    per, *_ = time_per_call(f, K1, K2, REPS)
+    return round(2 * n**3 / per / 1e12, 1)
 
 
 def conv(h, w, b, stride):
@@ -132,7 +154,7 @@ def main():
                    else prev.reshape(-1)[0] * 1e-12)
             return fwd(params, x + eps)
 
-        per, *_ = time_per_call(fwd_chain, 3, 12)
+        per, *_ = time_per_call(fwd_chain, K1, K2, REPS)
         results[nm] = round(per * 1e3, 2)
 
         val = np.asarray(fwd_chain(None), np.float32)
@@ -152,10 +174,12 @@ def main():
                    else prev[0].astype(jnp.bfloat16) * 1e-12)
             return g(params, x + eps)
 
-        per, *_ = time_per_call(g_chain, 3, 12)
+        per, *_ = time_per_call(g_chain, K1, K2, REPS)
         results[nm + "_grad"] = round(per * 1e3, 2)
+        results[nm + "_anchor_tflops"] = anchor_tflops()
         print(nm, results[nm], "grad", results[nm + "_grad"],
-              "maxdiff", results.get(nm + "_maxdiff"), flush=True)
+              "maxdiff", results.get(nm + "_maxdiff"),
+              "anchor_tflops", results[nm + "_anchor_tflops"], flush=True)
 
     # ---- CTC label-width sensitivity (#5a) ----
     logits = jax.random.normal(key, (B, t2, V), jnp.float32)
@@ -177,9 +201,30 @@ def main():
                    else prev.reshape(-1)[0] * 1e-12)
             return cg(logits + eps)
 
-        per, *_ = time_per_call(c_chain, 3, 12)
+        per, *_ = time_per_call(c_chain, K1, K2, REPS)
         results[f"ctc_grad_L{L}"] = round(per * 1e3, 2)
         print(f"ctc_grad_L{L}", results[f"ctc_grad_L{L}"], flush=True)
+
+    # parallel-in-time CTC (ops/ctc_parallel.py) vs optax, L=24
+    from openeat_tpu.ops.ctc_parallel import ctc_loss_parallel
+    labels = jax.random.randint(key, (B, 24), 1, V - 1)
+    lpad = jnp.zeros((B, 24), jnp.float32)
+    tpad = jnp.zeros((B, t2), jnp.float32)
+    for nm, fn in (("ctcpar", ctc_loss_parallel), ("ctcopt",
+                                                   optax.ctc_loss)):
+        pg = jax.jit(jax.grad(lambda z, fn=fn: jnp.sum(
+            fn(z, tpad, labels, lpad, blank_id=0))))
+
+        def p_chain(prev, pg=pg):
+            eps = (jnp.zeros(()) if prev is None
+                   else prev.reshape(-1)[0] * 1e-12)
+            return pg(logits + eps)
+
+        per, *_ = time_per_call(p_chain, K1, K2, REPS)
+        results[f"{nm}_grad"] = round(per * 1e3, 2)
+        results[f"{nm}_anchor_tflops"] = anchor_tflops()
+        print(f"{nm}_grad", results[f"{nm}_grad"],
+              "anchor", results[f"{nm}_anchor_tflops"], flush=True)
 
     print(json.dumps(results))
 

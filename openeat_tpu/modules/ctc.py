@@ -25,7 +25,9 @@ class CTCHead(nn.Module):
     vocab_size: int
     length_normalized_loss: bool = False
     blank_id: int = 0
-    impl: str = "optax"  # 'optax' | 'native' (Pallas on TPU, scan on CPU)
+    # 'optax' (sequential lax.scan) | 'native' (Pallas fwd/bwd kernel) |
+    # 'parallel' (log-semiring associative scan, ops/ctc_parallel.py)
+    impl: str = "optax"
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -54,6 +56,10 @@ class CTCHead(nn.Module):
             per_seq = native_ctc(log_probs, hlens.astype(jnp.int32),
                                  labels, ys_lens.astype(jnp.int32),
                                  self.blank_id, True)
+        elif self.impl == "parallel":
+            from openeat_tpu.ops.ctc_parallel import ctc_loss_parallel
+            per_seq = ctc_loss_parallel(logits, logit_pad, labels,
+                                        label_pad, blank_id=self.blank_id)
         else:
             per_seq = optax.ctc_loss(logits, logit_pad, labels, label_pad,
                                      blank_id=self.blank_id)

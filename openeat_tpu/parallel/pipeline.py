@@ -59,7 +59,8 @@ def stack_block_params(encoder_params: dict, num_blocks: int,
 def pipeline_blocks(layer_module, stacked_params, xs, mask, pos_emb,
                     mask_pad, *, mesh: Mesh, num_micro: int,
                     axis: str = "pipe", data_axis: str = "data",
-                    deterministic: bool = True, rng=None):
+                    deterministic: bool = True, rng=None,
+                    tail_fn=None, tail_args=(), tail_out_dim: int = 0):
     """Run the encoder block stack as a GPipe pipeline over `axis`.
 
     layer_module: an UNBOUND EncoderLayer carrying the static config.
@@ -70,6 +71,18 @@ def pipeline_blocks(layer_module, stacked_params, xs, mask, pos_emb,
 
     Returns [B, T, D] — bit-identical (up to reduction order) to
     applying the layers sequentially.
+
+    Tail placement (VERDICT r4 next #7): with `tail_fn` given, the
+    loss head runs INSIDE the shard_map on the LAST pipeline stage only
+    — `tail_fn(local_xs [b_local, T, D], *local_tail_args) -> [K] f32`
+    — and the return value is that vector, psum-selected over `axis`
+    and MEANED over `data_axis` (out dim `tail_out_dim`). This removes
+    the [M, mb, T, D] activation broadcast over 'pipe' AND the
+    replicated tail compute of the default path. `tail_args` are
+    pytrees whose leading dim is the batch (sharded over 'data',
+    replicated over 'pipe'); scalars/keys pass through replicated.
+    Restriction: params consumed by `tail_fn` must be replicated (no
+    TP sharding) — per-device code sees raw local shards.
     """
     pipe = mesh.shape[axis]
     total = jax.tree.leaves(stacked_params)[0].shape[0]
@@ -108,7 +121,7 @@ def pipeline_blocks(layer_module, stacked_params, xs, mask, pos_emb,
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
-    def body(sp, xs_m, mask_m, pad_m, pos_emb, rng):
+    def body(sp, xs_m, mask_m, pad_m, pos_emb, rng, *tail_locals):
         sp = jax.tree.map(lambda p: p[0], sp)  # local stage: [L/S, ...]
         sidx = jax.lax.axis_index(axis)
         n_layers = jax.tree.leaves(sp)[0].shape[0]
@@ -157,26 +170,70 @@ def pipeline_blocks(layer_module, stacked_params, xs, mask, pos_emb,
         ticks = jnp.arange(m_count + pipe - 1)
         (_, outbuf), _ = jax.lax.scan(tick, (jnp.zeros_like(xs_m[0]), out0),
                                       ticks)
-        # broadcast the last stage's buffer to all pipe ranks (everyone
-        # else contributed zeros)
-        return jax.lax.psum(outbuf, axis)
+        if tail_fn is None:
+            # broadcast the last stage's buffer to all pipe ranks
+            # (everyone else contributed zeros)
+            return jax.lax.psum(outbuf, axis)
+        # tail on the last stage: loss head over the LOCAL batch shard;
+        # only a [K] metrics vector ever crosses 'pipe'. The local
+        # flatten [M, mb_local, ...] -> [b_local, ...] matches the
+        # microbatch split of the batched tail args (same msplit).
+        tail_batch, tail_static = tail_locals
+        local_xs = outbuf.reshape((-1,) + outbuf.shape[2:])
+        local_batch = jax.tree.map(
+            lambda a: a.reshape((-1,) + a.shape[2:]), tail_batch)
 
+        vec = jax.lax.cond(
+            sidx == pipe - 1,
+            lambda: tail_fn(local_xs, local_batch,
+                            *tail_static).astype(jnp.float32),
+            lambda: jnp.zeros((tail_out_dim,), jnp.float32))
+        vec = jax.lax.psum(vec, axis)              # select the last stage
+        return jax.lax.pmean(vec, data_axis)       # mean over data shards
+
+    if tail_fn is None:
+        out = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(jax.tree.map(lambda _: P(axis), stage_params),
+                      micro_spec, micro_spec, micro_spec, P(), P()),
+            out_specs=micro_spec,
+            check_vma=False,
+        )(stage_params, xs_m, mask_m, pad_m, pos_emb, rng)
+        out = constrain(out, micro_spec)
+        return constrain(out.reshape((b,) + out.shape[2:]), P(data_axis))
+
+    tail_batch, tail_static = tail_args
+    tail_batch = jax.tree.map(msplit, tail_batch)  # [M, mb, ...] + spec
     out = jax.shard_map(
         body, mesh=mesh,
         in_specs=(jax.tree.map(lambda _: P(axis), stage_params),
-                  micro_spec, micro_spec, micro_spec, P(), P()),
-        out_specs=micro_spec,
+                  micro_spec, micro_spec, micro_spec, P(), P(),
+                  jax.tree.map(lambda _: micro_spec, tail_batch),
+                  jax.tree.map(lambda _: P(), tail_static)),
+        out_specs=P(),
         check_vma=False,
-    )(stage_params, xs_m, mask_m, pad_m, pos_emb, rng)
-    out = constrain(out, micro_spec)
-    return constrain(out.reshape((b,) + out.shape[2:]), P(data_axis))
+    )(stage_params, xs_m, mask_m, pad_m, pos_emb, rng, tail_batch,
+      tail_static)
+    return out
 
 
 def make_pp_loss_fn(model, mesh: Mesh, num_micro: int,
-                    axis: str = "pipe", data_axis: str = "data"):
+                    axis: str = "pipe", data_axis: str = "data",
+                    tail_on_last_stage: bool = False):
     """Pipelined drop-in for parallel.train_step.make_loss_fn: the
     encoder block stack runs as a GPipe pipeline over `axis`; embed,
     after_norm, CTC and decoder losses stay replicated over 'pipe'.
+
+    tail_on_last_stage=True (VERDICT r4 next #7) places the loss head
+    (after_norm + CTC + decoder) on the LAST pipeline stage inside the
+    shard_map instead of broadcasting [B, T, D] activations back to
+    every 'pipe' rank and computing the tail replicated: only a
+    [n_metrics] f32 vector crosses 'pipe'. Restrictions: model params
+    must be replicated (no TP over 'model' — per-device tail code sees
+    raw shards), and the 'acc' metric becomes the mean of per-data-shard
+    accuracies (token-count weighting is per shard; loss values are
+    exact because every loss term is a per-batch mean and shards are
+    equal-sized).
 
     Pass the result to build_train_step(model, tx, loss_fn=...).
     """
@@ -213,14 +270,44 @@ def make_pp_loss_fn(model, mesh: Mesh, num_micro: int,
         stacked = stack_block_params(
             params["params"]["encoder"]["encoders"],
             model.encoder_num_blocks, model.encoder_num_blocks_share)
-        xs = pipeline_blocks(
+        if not tail_on_last_stage:
+            xs = pipeline_blocks(
+                layer_module, stacked, xs, mask_pad, pos_emb, mask_pad,
+                mesh=mesh, num_micro=num_micro, axis=axis,
+                data_axis=data_axis, deterministic=det, rng=k_blocks)
+            metrics = model.apply(
+                params, xs, out_lens, batch["targets"],
+                batch["targets_length"], deterministic=det,
+                rngs={"dropout": k_tail}, method=model.pipeline_tail)
+            return metrics["loss"], metrics
+
+        def tail_apply(local_xs, local_lens, local_tgts, local_tlens,
+                       prm, key):
+            return model.apply(
+                prm, local_xs, local_lens, local_tgts, local_tlens,
+                deterministic=det, rngs={"dropout": key},
+                method=model.pipeline_tail)
+
+        # metric names in a fixed order (shapes only — nothing executes)
+        names = sorted(jax.eval_shape(
+            tail_apply, xs, out_lens, batch["targets"],
+            batch["targets_length"], params, k_tail))
+
+        def tail_fn(local_xs, local_batch, prm, key):
+            local_lens, local_tgts, local_tlens = local_batch
+            m = tail_apply(local_xs, local_lens, local_tgts,
+                           local_tlens, prm, key)
+            return jnp.stack([m[k] for k in names])
+
+        vec = pipeline_blocks(
             layer_module, stacked, xs, mask_pad, pos_emb, mask_pad,
             mesh=mesh, num_micro=num_micro, axis=axis,
-            data_axis=data_axis, deterministic=det, rng=k_blocks)
-        metrics = model.apply(
-            params, xs, out_lens, batch["targets"],
-            batch["targets_length"], deterministic=det,
-            rngs={"dropout": k_tail}, method=model.pipeline_tail)
+            data_axis=data_axis, deterministic=det, rng=k_blocks,
+            tail_fn=tail_fn,
+            tail_args=((out_lens, batch["targets"],
+                        batch["targets_length"]), (params, k_tail)),
+            tail_out_dim=len(names))
+        metrics = {k: vec[i] for i, k in enumerate(names)}
         return metrics["loss"], metrics
 
     return loss_fn

@@ -150,3 +150,38 @@ def test_pp_train_step_runs_and_matches():
                                float(m2["grad_norm"]), rtol=1e-4)
     assert all(np.all(np.isfinite(np.asarray(x)))
                for x in jax.tree.leaves(s2.params))
+
+
+def test_pp_tail_on_last_stage_matches_sequential():
+    """tail_on_last_stage=True (loss head computed inside the shard_map
+    on the last 'pipe' rank, only a metrics vector crossing the mesh)
+    must reproduce the sequential loss AND grads exactly like the
+    broadcast path does (dropout_rate=0)."""
+    mesh = _pipe_mesh()
+    model = _model()
+    batch = _batch(seed=9)
+    params = _init(model, batch)
+    key = jax.random.PRNGKey(3)
+    seq_loss = make_loss_fn(model)
+    pp_loss = make_pp_loss_fn(model, mesh, num_micro=4,
+                              tail_on_last_stage=True)
+
+    l1, g1 = jax.jit(jax.value_and_grad(
+        lambda p: seq_loss(p, batch, key)[0]))(params)
+    with jax.sharding.set_mesh(mesh):
+        (l2, metrics), g2 = jax.jit(jax.value_and_grad(
+            lambda p: pp_loss(p, batch, key), has_aux=True))(params)
+
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    # the loss decomposition must survive the vector round trip
+    _, m1 = seq_loss(params, batch, key)
+    np.testing.assert_allclose(float(m1["loss_ctc"]),
+                               float(metrics["loss_ctc"]), rtol=1e-4)
+    np.testing.assert_allclose(float(m1["loss_att"]),
+                               float(metrics["loss_att"]), rtol=1e-4)
+
+    def check(path, a, b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6,
+                                   err_msg=str(path))
+    jax.tree_util.tree_map_with_path(check, g1, g2)
